@@ -1,0 +1,116 @@
+"""Total-variation values and proximal operators.
+
+TPU-native replacement for pyproximal ``TV`` (Chambolle inner iterations,
+``niter_tv=10`` at reference prox_lmc_deconv.py:122) and ``L21``/``L1`` TV
+regularizers (reference prox_lmc_deconv.py:116-119): the dual projection
+algorithm of Chambolle (2004) with a *fixed* trip count inside
+``lax.fori_loop`` so the whole sampler step stays one fused XLA computation
+(SURVEY.md §2b N4, idiom shift 4).
+
+Internal gradient convention: forward differences with Neumann boundary
+(standard for Chambolle), independent of the ``Gradient2D`` operator used by
+primal-dual samplers.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "grad2d",
+    "div2d",
+    "tv_iso",
+    "tv_aniso",
+    "tv1d",
+    "prox_tv_iso",
+    "prox_tv_aniso",
+    "prox_tv1d",
+]
+
+
+def grad2d(x):
+    """Forward differences, Neumann boundary: shape (2, ny, nx)."""
+    dy = jnp.concatenate([x[1:] - x[:-1], jnp.zeros_like(x[:1])], axis=0)
+    dx = jnp.concatenate([x[:, 1:] - x[:, :-1], jnp.zeros_like(x[:, :1])], axis=1)
+    return jnp.stack([dy, dx])
+
+
+def div2d(p):
+    """Discrete divergence, the negative adjoint of :func:`grad2d`."""
+    py, px = p[0], p[1]
+    dy = jnp.concatenate([py[:1], py[1:-1] - py[:-2], -py[-2:-1]], axis=0)
+    dx = jnp.concatenate([px[:, :1], px[:, 1:-1] - px[:, :-2], -px[:, -2:-1]], axis=1)
+    return dy + dx
+
+
+def tv_iso(x):
+    """Isotropic TV value: sum of per-pixel gradient-vector norms."""
+    g = grad2d(x)
+    return jnp.sum(jnp.sqrt(jnp.sum(g * g, axis=0)))
+
+
+def tv_aniso(x):
+    """Anisotropic TV value: l1 norm of all forward differences."""
+    return jnp.sum(jnp.abs(grad2d(x)))
+
+
+def tv1d(x):
+    """1-D TV of a flattened signal (pyproximal ``TV((prod(dims),))``
+    semantics used by the ME-TV anisotropic mode, reference algs.py:169-170)."""
+    return jnp.sum(jnp.abs(x[1:] - x[:-1]))
+
+
+def prox_tv_iso(x, gamma, niter: int = 10, step: float = 0.25):
+    """Prox of ``gamma * TV_iso`` via Chambolle dual projection.
+
+    Iterates ``p <- (p + step*grad(div p - x/gamma)) / (1 + step*|...|_2)``
+    with the per-pixel Euclidean norm; returns ``x - gamma * div p``.
+    ``step <= 1/4`` converges (1/8 is Chambolle's proven constant; 1/4 is the
+    standard accelerated choice and what we fix for reproducibility).
+    """
+    gamma = jnp.asarray(gamma, x.dtype)
+
+    def body(_, p):
+        u = div2d(p) - x / gamma
+        g = grad2d(u)
+        mag = jnp.sqrt(jnp.sum(g * g, axis=0, keepdims=True))
+        return (p + step * g) / (1.0 + step * mag)
+
+    p0 = jnp.zeros((2,) + x.shape, x.dtype)
+    p = jax.lax.fori_loop(0, niter, body, p0)
+    return x - gamma * div2d(p)
+
+
+def prox_tv_aniso(x, gamma, niter: int = 10, step: float = 0.25):
+    """Prox of ``gamma * TV_aniso`` via the dual projection with the
+    per-component box constraint ``|p_i| <= 1`` (anisotropic dual ball)."""
+    gamma = jnp.asarray(gamma, x.dtype)
+
+    def body(_, p):
+        u = div2d(p) - x / gamma
+        g = grad2d(u)
+        return (p + step * g) / (1.0 + step * jnp.abs(g))
+
+    p0 = jnp.zeros((2,) + x.shape, x.dtype)
+    p = jax.lax.fori_loop(0, niter, body, p0)
+    return x - gamma * div2d(p)
+
+
+def _grad1d(x):
+    return jnp.concatenate([x[1:] - x[:-1], jnp.zeros_like(x[:1])])
+
+
+def _div1d(p):
+    return jnp.concatenate([p[:1], p[1:-1] - p[:-2], -p[-2:-1]])
+
+
+def prox_tv1d(x, gamma, niter: int = 10, step: float = 0.25):
+    """Prox of 1-D TV on a flat vector (dual projection, fixed trips)."""
+    gamma = jnp.asarray(gamma, x.dtype)
+
+    def body(_, p):
+        g = _grad1d(_div1d(p) - x / gamma)
+        return (p + step * g) / (1.0 + step * jnp.abs(g))
+
+    p = jax.lax.fori_loop(0, niter, body, jnp.zeros_like(x))
+    return x - gamma * _div1d(p)

@@ -1,0 +1,35 @@
+"""Test configuration.
+
+Tests run on a virtual 8-device CPU mesh (the standard trick for faking a
+multi-device TPU topology on CPU, cf. reference jax/lmc_jax.py:17-18) and with
+float64 enabled so that golden-trajectory comparisons against NumPy reference
+update rules are meaningful.
+"""
+import os
+import sys
+
+# Force CPU: the terminal presets JAX_PLATFORMS=axon (remote TPU); unit tests
+# must run on the virtual 8-device CPU topology.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+# The axon sitecustomize overrides JAX_PLATFORMS; force CPU post-import too
+# (must happen before any backend is initialized).
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
