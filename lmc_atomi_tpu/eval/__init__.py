@@ -1,0 +1,27 @@
+from lmc_atomi_tpu.eval.metrics import (
+    acceptance_rate,
+    effective_sample_mask,
+    mse,
+    psnr,
+    snr,
+)
+from lmc_atomi_tpu.eval.wasserstein import (
+    exact_w2_assignment,
+    pairwise_sq_dists,
+    sinkhorn_w2,
+    sliced_w2,
+    w2_prefix_curve,
+)
+
+__all__ = [
+    "acceptance_rate",
+    "effective_sample_mask",
+    "mse",
+    "psnr",
+    "snr",
+    "exact_w2_assignment",
+    "pairwise_sq_dists",
+    "sinkhorn_w2",
+    "sliced_w2",
+    "w2_prefix_curve",
+]

@@ -1,0 +1,148 @@
+"""Imaging-scale samplers: ULPDA, MYULA, PnP-ULA (components C4/C5).
+
+Library-grade kernels over functional objects (the ``L2Data``/``L21Norm``/
+``TVNorm``/``L2NcvxTV`` protocol), redesigned from the reference's
+``UnadjustedLangevinPrimalDual`` (algs.py:295-474) and
+``MoreauYosidaUnadjustedLangevin`` (algs.py:477-587):
+
+  * state (x, y, xbar) is an explicit pytree carried through ``lax.scan``;
+  * per-iteration tau/mu arrays are supported via ``stepsize_at``
+    (reference algs.py:401-408);
+  * noise is on-chip threefry; the posterior mean/variance accumulate in the
+    runner's streaming moments instead of sample hoarding
+    (reference prox_lmc_deconv.py:474-475).
+
+PnP-ULA (BASELINE.json config 5) follows Laumont et al. 2022: the prior score
+is ``(D_eps(x) - x)/eps`` for a (learned or analytic) denoiser ``D_eps``,
+plus a box projection drift for stability.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from lmc_atomi_tpu.core.random import normal_like
+from lmc_atomi_tpu.core.state import SamplerState, StepInfo
+from lmc_atomi_tpu.kernels.base import Kernel, stepsize_at
+
+__all__ = ["ulpda", "myula_imaging", "pnp_ula", "ULPDAExtras"]
+
+
+class ULPDAExtras(NamedTuple):
+    y: Any  # dual variable
+    xbar: Any  # extrapolated primal
+
+
+def ulpda(
+    proxf,
+    proxg,
+    a_op,
+    tau,
+    mu,
+    theta: float = 1.0,
+    z: Optional[jnp.ndarray] = None,
+    gfirst: bool = True,
+) -> Kernel:
+    """Unadjusted Langevin Primal-Dual (Chambolle-Pock + primal noise).
+
+    gfirst=True recursion (reference algs.py:370-381, 435-441):
+        y    <- proxdual_g(y + mu A xbar, mu)
+        x    <- prox_f(x - tau (A^T y + z), tau) + sqrt(2 tau) xi
+        xbar <- x + theta (x - x_old)
+    gfirst=False applies the primal update first (algs.py:383-392, 442-448).
+    Convergence needs tau mu lambda_max(A^T A) < 1 (algs.py:381).
+    """
+
+    def init(x0, y0=None):
+        y = a_op.matvec(x0) * 0.0 if y0 is None else y0
+        return SamplerState.init(x0, extras=ULPDAExtras(y=y, xbar=x0))
+
+    def step(state, key):
+        t = stepsize_at(tau, state.step)
+        m = stepsize_at(mu, state.step)
+        xi = normal_like(key, state.position)
+        x_old = state.position
+        y = state.extras.y
+        xbar = state.extras.xbar
+
+        if gfirst:
+            y = proxg.proxdual(y + m * a_op.matvec(xbar), m)
+            aty = a_op.rmatvec(y)
+            if z is not None:
+                aty = aty + z
+            x = proxf.prox(x_old - t * aty, t) + jnp.sqrt(2 * t) * xi
+            xbar = x + theta * (x - x_old)
+        else:
+            aty = a_op.rmatvec(y)
+            if z is not None:
+                aty = aty + z
+            x = proxf.prox(x_old - t * aty, t) + jnp.sqrt(2 * t) * xi
+            xbar = x + theta * (x - x_old)
+            y = proxg.proxdual(y + m * a_op.matvec(xbar), m)
+
+        return state.next(x, extras=ULPDAExtras(y=y, xbar=xbar)), StepInfo()
+
+    return Kernel(init, step)
+
+
+def myula_imaging(proxf, proxg, tau, gamma, epsg: float = 1.0) -> Kernel:
+    """Moreau-Yosida ULA over functionals (reference algs.py:528-535, 569):
+
+        x <- (1 - tau/gamma) x - tau grad_f(x)
+             + (tau/gamma) prox_g(x, epsg*gamma) + sqrt(2 tau) xi
+    """
+
+    def init(x0):
+        return SamplerState.init(x0)
+
+    def step(state, key):
+        t = stepsize_at(tau, state.step)
+        g = stepsize_at(gamma, state.step)
+        xi = normal_like(key, state.position)
+        x = state.position
+        x_new = (
+            (1.0 - t / g) * x
+            - t * proxf.grad(x)
+            + (t / g) * proxg.prox(x, epsg * g)
+            + jnp.sqrt(2 * t) * xi
+        )
+        return state.next(x_new), StepInfo()
+
+    return Kernel(init, step)
+
+
+def pnp_ula(
+    grad_f: Callable,
+    denoiser: Callable,
+    tau,
+    eps: float,
+    alpha: float = 1.0,
+    box: Optional[tuple] = None,
+    box_weight: Optional[float] = None,
+) -> Kernel:
+    """Plug-and-Play ULA (Laumont et al. 2022; BASELINE.json config 5):
+
+        x <- x - tau grad_f(x) + tau (alpha/eps)(D_eps(x) - x)
+               + tau/lam_box (proj_C(x) - x) + sqrt(2 tau) xi
+
+    ``denoiser`` is any callable image -> image (a trained CNN denoiser or an
+    analytic one); ``box=(lo, hi)`` adds the compact-set projection drift that
+    guarantees ergodicity.
+    """
+
+    def init(x0):
+        return SamplerState.init(x0)
+
+    def step(state, key):
+        t = stepsize_at(tau, state.step)
+        xi = normal_like(key, state.position)
+        x = state.position
+        drift = -grad_f(x) + (alpha / eps) * (denoiser(x) - x)
+        if box is not None:
+            lw = box_weight if box_weight is not None else eps
+            drift = drift + (jnp.clip(x, box[0], box[1]) - x) / lw
+        return state.next(x + t * drift + jnp.sqrt(2 * t) * xi), StepInfo()
+
+    return Kernel(init, step)

@@ -1,0 +1,145 @@
+"""MAP optimizers: (adaptive) primal-dual hybrid gradient and FISTA.
+
+TPU-native equivalents of the reference MAP branch, which calls pyproximal's
+``AdaptivePrimalDual`` (reference prox_lmc_deconv.py:144-298) — the
+residual-balancing adaptive PDHG of Goldstein, Li, Yuan, Esser & Baraniuk
+(2015) — and mentions accelerated proximal gradient as the alternative
+(prox_lmc_deconv.py:137). Both are single jitted ``lax.scan`` loops with
+fixed trip counts; adaptivity is data-dependent *values*, not shapes.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["pdhg", "adaptive_pdhg", "fista", "OptResult"]
+
+
+class OptResult(NamedTuple):
+    x: Any
+    y: Any
+    metrics: Optional[Dict[str, jnp.ndarray]]
+
+
+def _metric_row(metrics, x):
+    return {name: fn(x) for name, fn in (metrics or {}).items()} or None
+
+
+def pdhg(
+    proxf,
+    proxg,
+    a_op,
+    x0,
+    tau: float,
+    mu: float,
+    niter: int,
+    theta: float = 1.0,
+    metrics: Optional[Dict[str, Callable]] = None,
+) -> OptResult:
+    """Plain Chambolle-Pock PDHG for min_x f(x) + g(A x)."""
+    y0 = a_op.matvec(x0) * 0.0
+
+    def body(carry, _):
+        x, y, xbar = carry
+        y = proxg.proxdual(y + mu * a_op.matvec(xbar), mu)
+        x_new = proxf.prox(x - tau * a_op.rmatvec(y), tau)
+        xbar = x_new + theta * (x_new - x)
+        out = _metric_row(metrics, x_new)
+        return (x_new, y, xbar), out
+
+    (x, y, _), outs = jax.lax.scan(body, (x0, y0, x0), None, length=niter)
+    return OptResult(x=x, y=y, metrics=outs)
+
+
+def adaptive_pdhg(
+    proxf,
+    proxg,
+    a_op,
+    x0,
+    tau: float,
+    mu: float,
+    niter: int,
+    alpha0: float = 0.5,
+    eta: float = 0.95,
+    s: float = 1.0,
+    delta: float = 1.5,
+    metrics: Optional[Dict[str, Callable]] = None,
+) -> OptResult:
+    """Adaptive PDHG with residual balancing (Goldstein et al. 2015; the
+    scheme behind pyproximal ``AdaptivePrimalDual`` used at reference
+    prox_lmc_deconv.py:144-153).
+
+    After each iteration compute primal/dual residuals
+
+        p = (x_k - x_{k+1})/tau - A^T (y_k - y_{k+1})
+        d = (y_k - y_{k+1})/mu  - A  (x_k - x_{k+1})
+
+    and when one exceeds ``s * delta`` times the other, shift step size
+    toward the lagging side (tau <- tau/(1-alpha), mu <- mu (1-alpha), or
+    vice versa) and decay alpha by ``eta``.
+    """
+    y0 = a_op.matvec(x0) * 0.0
+
+    def body(carry, _):
+        x, y, tau_k, mu_k, alpha = carry
+        # x first (Arrow-Hurwicz ordering used by Goldstein et al.)
+        x_new = proxf.prox(x - tau_k * a_op.rmatvec(y), tau_k)
+        xbar = 2.0 * x_new - x
+        y_new = proxg.proxdual(y + mu_k * a_op.matvec(xbar), mu_k)
+
+        dx = x - x_new
+        dy = y - y_new
+        p = dx / tau_k - a_op.rmatvec(dy)
+        d = dy / mu_k - a_op.matvec(dx)
+        pn = jnp.linalg.norm(jnp.ravel(p))
+        dn = jnp.linalg.norm(jnp.ravel(d))
+
+        grow = pn > s * dn * delta  # primal residual large -> bigger tau
+        shrink = dn > s * pn * delta  # dual residual large -> smaller tau
+        tau_next = jnp.where(
+            grow, tau_k / (1 - alpha), jnp.where(shrink, tau_k * (1 - alpha), tau_k)
+        )
+        mu_next = jnp.where(
+            grow, mu_k * (1 - alpha), jnp.where(shrink, mu_k / (1 - alpha), mu_k)
+        )
+        alpha_next = jnp.where(grow | shrink, alpha * eta, alpha)
+
+        out = _metric_row(metrics, x_new)
+        return (x_new, y_new, tau_next, mu_next, alpha_next), out
+
+    (x, y, *_), outs = jax.lax.scan(
+        body,
+        (x0, y0, jnp.asarray(tau, x0.dtype), jnp.asarray(mu, x0.dtype),
+         jnp.asarray(alpha0, x0.dtype)),
+        None,
+        length=niter,
+    )
+    return OptResult(x=x, y=y, metrics=outs)
+
+
+def fista(
+    grad_f: Callable,
+    prox_g: Callable,
+    x0,
+    tau: float,
+    niter: int,
+    metrics: Optional[Dict[str, Callable]] = None,
+) -> OptResult:
+    """Accelerated proximal gradient (FISTA, Beck & Teboulle 2009) for
+    min_x f(x) + g(x): x_{k+1} = prox_{tau g}(z_k - tau grad f(z_k)) with
+    Nesterov momentum on z."""
+
+    def body(carry, _):
+        x, z, t = carry
+        x_new = prox_g(z - tau * grad_f(z), tau)
+        t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+        z_new = x_new + ((t - 1.0) / t_new) * (x_new - x)
+        out = _metric_row(metrics, x_new)
+        return (x_new, z_new, t_new), out
+
+    (x, _, _), outs = jax.lax.scan(
+        body, (x0, x0, jnp.asarray(1.0, x0.dtype)), None, length=niter
+    )
+    return OptResult(x=x, y=None, metrics=outs)

@@ -1,0 +1,176 @@
+"""Chain runners: one jitted ``lax.scan`` over steps, ``vmap`` over chains.
+
+Replaces the reference's per-step Python loops and host RNG (lmc.py:99-104,
+algs.py:432-467) and its sample-hoarding memory pattern
+(prox_lmc_deconv.py:474-475). Three collection modes, combinable:
+
+  * ``collect="samples"`` — stack (thinned) positions, the small-d mixture
+    workloads;
+  * ``collect="stats"`` — streaming Welford moments (+ optional P^2
+    quantiles) of the position in HBM, the 512^2 imaging workloads;
+  * ``collect="last"`` — final state only.
+
+``metrics`` is a dict of jittable ``fn(position) -> scalar/array`` evaluated
+every emitted step and stacked — the TPU-native equivalent of the reference's
+per-iteration callbacks (cost/err/SNR/PSNR/MSE, prox_lmc_deconv.py:128-133).
+
+Per-step keys are folded from one base key (core.random discipline); chains
+get independent folded base keys.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from lmc_atomi_tpu.core.random import as_key, chain_keys, step_key
+from lmc_atomi_tpu.core.state import SamplerState
+from lmc_atomi_tpu.core.stats import RunningMoments, RunningQuantile
+from lmc_atomi_tpu.kernels.base import Kernel
+
+__all__ = ["ChainResult", "run_chain", "run_chains"]
+
+
+class ChainResult(NamedTuple):
+    final_state: SamplerState
+    samples: Optional[Any]  # (n_emitted, *shape) when collect includes samples
+    infos: Any  # stacked StepInfo pytree (n_emitted, ...)
+    metrics: Optional[Dict[str, jnp.ndarray]]
+    moments: Optional[RunningMoments]
+    quantiles: Optional[Any]  # dict p -> RunningQuantile
+
+
+def _emit_block(kernel: Kernel, key, thin: int):
+    """One emitted step = ``thin`` kernel steps; info from the last one."""
+
+    def block(state, idx):
+        def body(i, carry):
+            st, _ = carry
+            k = step_key(key, st.step)
+            st, info = kernel.step(st, k)
+            return st, info
+
+        # Run thin steps; keep the last info. First iteration computed
+        # explicitly to get the info structure.
+        k0 = step_key(key, state.step)
+        st, info = kernel.step(state, k0)
+        if thin > 1:
+            st, info = jax.lax.fori_loop(0, thin - 1, body, (st, info))
+        return st, info
+
+    return block
+
+
+def run_chain(
+    kernel: Kernel,
+    x0,
+    key,
+    n_steps: int,
+    *,
+    collect: str = "samples",
+    thin: int = 1,
+    metrics: Optional[Dict[str, Callable]] = None,
+    quantile_ps: tuple = (),
+    burn_in: int = 0,
+    init_args: tuple = (),
+    unroll: int = 1,
+) -> ChainResult:
+    """Run one chain for ``n_steps`` kernel steps (jit-compiled caller side).
+
+    ``n_steps`` must be divisible by ``thin``; positions/metrics are emitted
+    every ``thin`` steps. ``burn_in`` (in *emitted* steps) masks the streaming
+    moment/quantile updates, matching "discard the first B samples" eval.
+    """
+    if n_steps % thin != 0:
+        raise ValueError(f"n_steps={n_steps} not divisible by thin={thin}")
+    n_emit = n_steps // thin
+
+    key = as_key(key)
+    state0 = kernel.init(x0, *init_args)
+    want_samples = collect == "samples"
+    want_stats = collect == "stats"
+
+    moments0 = RunningMoments.init(state0.position) if want_stats else None
+    quants0 = (
+        {
+            p: RunningQuantile.init(
+                jnp.shape(state0.position), p, jnp.asarray(state0.position).dtype
+            )
+            for p in quantile_ps
+        }
+        if (want_stats and quantile_ps)
+        else None
+    )
+    block = _emit_block(kernel, key, thin)
+
+    def body(carry, idx):
+        state, moments, quants = carry
+        state, info = block(state, idx)
+        out = {"info": info}
+        if want_samples:
+            out["position"] = state.position
+        if metrics:
+            out["metrics"] = {name: fn(state.position) for name, fn in metrics.items()}
+        if want_stats:
+            w = (idx >= burn_in).astype(jnp.int32)
+            moments = moments.update(state.position, weight=w)
+            if quants is not None:
+                quants = {
+                    p: jax.lax.cond(
+                        w > 0, lambda q: q.update(state.position), lambda q: q, q
+                    )
+                    for p, q in quants.items()
+                }
+        return (state, moments, quants), out
+
+    (final_state, moments, quants), outs = jax.lax.scan(
+        body,
+        (state0, moments0, quants0),
+        jnp.arange(n_emit),
+        unroll=unroll,
+    )
+    return ChainResult(
+        final_state=final_state,
+        samples=outs.get("position"),
+        infos=outs["info"],
+        metrics=outs.get("metrics"),
+        moments=moments,
+        quantiles=quants,
+    )
+
+
+def run_chains(
+    kernel: Kernel,
+    x0,
+    key,
+    n_steps: int,
+    n_chains: int,
+    *,
+    axis: int = 0,
+    **kwargs,
+) -> ChainResult:
+    """vmap ``run_chain`` over ``n_chains`` independent chains.
+
+    ``x0`` is either a single position (broadcast to all chains) or a batched
+    pytree with leading chain axis. The per-chain base keys are folds of
+    ``key`` — the multi-chain scaffolding the reference plumbed but never used
+    (jax/lmc_jax.py:44-49, 267; SURVEY.md §2c P1).
+    """
+    key = as_key(key)
+    keys = chain_keys(key, n_chains)
+    x0_leaves = jax.tree.leaves(x0)
+    batched = len(x0_leaves) > 0 and all(
+        hasattr(l, "shape") and l.ndim > 0 and l.shape[0] == n_chains
+        for l in x0_leaves
+    )
+    if not batched:
+        x0 = jax.tree.map(
+            lambda l: jnp.broadcast_to(l, (n_chains,) + jnp.shape(l)), x0
+        )
+
+    def one(x, k):
+        return run_chain(kernel, x, k, n_steps, **kwargs)
+
+    return jax.vmap(one)(x0, keys)
