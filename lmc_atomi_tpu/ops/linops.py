@@ -226,16 +226,17 @@ class Gradient2D(LinOp):
     sampling: float = struct.field(pytree_node=False, default=1.0)
 
     def matvec(self, x):
-        dy = jnp.concatenate([x[1:] - x[:-1], jnp.zeros_like(x[:1])], axis=0)
-        dx = jnp.concatenate([x[:, 1:] - x[:, :-1], jnp.zeros_like(x[:, :1])], axis=1)
-        return jnp.stack([dy, dx]) / self.sampling
+        from lmc_atomi_tpu.ops.tv import _fwd_diff
+
+        return jnp.stack([_fwd_diff(x, 0), _fwd_diff(x, 1)]) / self.sampling
 
     def rmatvec(self, p):
-        py, px = p[0], p[1]
-        # Adjoint of forward difference with zeroed last slot.
-        dy = jnp.concatenate([-py[:1], py[:-2] - py[1:-1], py[-2:-1]], axis=0)
-        dx = jnp.concatenate([-px[:, :1], px[:, :-2] - px[:, 1:-1], px[:, -2:-1]], axis=1)
-        return (dy + dx) / self.sampling
+        from lmc_atomi_tpu.ops.tv import _fwd_diff_adjoint_neg
+
+        # Adjoint of forward difference = negative divergence component.
+        return -(
+            _fwd_diff_adjoint_neg(p[0], 0) + _fwd_diff_adjoint_neg(p[1], 1)
+        ) / self.sampling
 
     def max_gram_eig(self, probe=None, iters: int = 0):
         return jnp.asarray(8.0) / self.sampling**2

@@ -28,19 +28,40 @@ __all__ = [
 ]
 
 
+def _last_mask(n, axis_len_axis, shape, dtype):
+    """1.0 everywhere except the last slot along the given axis."""
+    idx = jax.lax.broadcasted_iota(jnp.int32, shape, axis_len_axis)
+    return (idx < (n - 1)).astype(dtype)
+
+
+def _fwd_diff(x, axis):
+    """Forward difference with zeroed last slot, in roll+mask form — sharding
+    friendly (slice-based forms produce odd-size dims that cannot be
+    partitioned; ``roll`` lowers to a collective permute on sharded axes)."""
+    n = x.shape[axis]
+    mask = _last_mask(n, axis, x.shape, x.dtype)
+    return (jnp.roll(x, -1, axis) - x) * mask
+
+
+def _fwd_diff_adjoint_neg(p, axis):
+    """Divergence component: the negative adjoint of :func:`_fwd_diff`.
+
+    With p~ = p masked at the last slot, div = p~ - roll(p~, +1); the wrapped
+    entry is p~[last] = 0, so no boundary fixup is needed.
+    """
+    n = p.shape[axis]
+    pm = p * _last_mask(n, axis, p.shape, p.dtype)
+    return pm - jnp.roll(pm, 1, axis)
+
+
 def grad2d(x):
     """Forward differences, Neumann boundary: shape (2, ny, nx)."""
-    dy = jnp.concatenate([x[1:] - x[:-1], jnp.zeros_like(x[:1])], axis=0)
-    dx = jnp.concatenate([x[:, 1:] - x[:, :-1], jnp.zeros_like(x[:, :1])], axis=1)
-    return jnp.stack([dy, dx])
+    return jnp.stack([_fwd_diff(x, 0), _fwd_diff(x, 1)])
 
 
 def div2d(p):
     """Discrete divergence, the negative adjoint of :func:`grad2d`."""
-    py, px = p[0], p[1]
-    dy = jnp.concatenate([py[:1], py[1:-1] - py[:-2], -py[-2:-1]], axis=0)
-    dx = jnp.concatenate([px[:, :1], px[:, 1:-1] - px[:, :-2], -px[:, -2:-1]], axis=1)
-    return dy + dx
+    return _fwd_diff_adjoint_neg(p[0], 0) + _fwd_diff_adjoint_neg(p[1], 1)
 
 
 def tv_iso(x):
@@ -97,11 +118,11 @@ def prox_tv_aniso(x, gamma, niter: int = 10, step: float = 0.25):
 
 
 def _grad1d(x):
-    return jnp.concatenate([x[1:] - x[:-1], jnp.zeros_like(x[:1])])
+    return _fwd_diff(x, 0)
 
 
 def _div1d(p):
-    return jnp.concatenate([p[:1], p[1:-1] - p[:-2], -p[-2:-1]])
+    return _fwd_diff_adjoint_neg(p, 0)
 
 
 def prox_tv1d(x, gamma, niter: int = 10, step: float = 0.25):

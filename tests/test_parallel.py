@@ -1,0 +1,146 @@
+"""Multi-device tests on the virtual 8-device CPU mesh (SURVEY.md §4(f))."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lmc_atomi_tpu.kernels import myula_imaging, ula
+from lmc_atomi_tpu.models import GaussianMixture
+from lmc_atomi_tpu.parallel.mesh import (
+    chain_mesh,
+    image_mesh,
+    merge_chain_moments,
+    run_chains_sharded,
+    shard_image,
+)
+from lmc_atomi_tpu.run.runner import run_chain, run_chains
+
+MUS = np.array([[0.0, 0.0], [-2.0, 3.0]])
+SIGMAS = np.array([[[1.0, -0.5], [-0.5, 1.0]], [[0.5, 0.2], [0.2, 0.7]]])
+
+
+def make_kernel():
+    gm = GaussianMixture.create(MUS, SIGMAS, np.ones(2) / 2)
+    return ula(gm.grad_potential, 0.05)
+
+
+def test_eight_virtual_devices_present():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_chains_match_vmap_chains():
+    kern = make_kernel()
+    key = jax.random.PRNGKey(0)
+    x0 = jnp.zeros(2)
+    plain = run_chains(kern, x0, key, 100, n_chains=8, collect="samples")
+    sharded = run_chains_sharded(kern, x0, key, 100, n_chains=8, collect="samples")
+    np.testing.assert_allclose(
+        np.asarray(sharded.samples), np.asarray(plain.samples), rtol=1e-12
+    )
+
+
+def test_sharded_chains_more_chains_than_devices():
+    kern = make_kernel()
+    res = run_chains_sharded(
+        kern, jnp.zeros(2), jax.random.PRNGKey(1), 50, n_chains=32, collect="stats"
+    )
+    assert np.asarray(res.moments.mean).shape == (32, 2)
+    pooled = merge_chain_moments(res.moments)
+    assert int(pooled.count) == 32 * 50
+    assert np.isfinite(np.asarray(pooled.mean)).all()
+
+
+def test_pooled_moments_match_manual():
+    kern = make_kernel()
+    res = run_chains_sharded(
+        kern, jnp.zeros(2), jax.random.PRNGKey(2), 80, n_chains=8, collect="samples"
+    )
+    s = np.asarray(res.samples).reshape(-1, 2)
+    res2 = run_chains_sharded(
+        kern, jnp.zeros(2), jax.random.PRNGKey(2), 80, n_chains=8, collect="stats"
+    )
+    pooled = merge_chain_moments(res2.moments)
+    np.testing.assert_allclose(np.asarray(pooled.mean), s.mean(0), atol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(pooled.variance), s.var(0, ddof=1), atol=1e-10
+    )
+
+
+def test_image_sharded_myula_step_matches_single_device():
+    """A 2x4 (row, col) sharded MYULA chain must compute exactly what the
+    single-device chain computes — XLA inserts the FFT collectives."""
+    from lmc_atomi_tpu.ops.functionals import L2Data, TVNorm
+    from lmc_atomi_tpu.ops.linops import CirculantBlur2D, uniform_kernel
+    from lmc_atomi_tpu.utils.images import phantom
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n = 32
+    img = jnp.asarray(phantom(n, np.float64))
+    H = CirculantBlur2D.from_kernel((n, n), uniform_kernel(5, jnp.float64))
+    y = H.matvec(img)
+    l2 = L2Data(op=H, b=y, sigma=1.0)
+    tv = TVNorm(sigma=0.3, niter=5)
+    kern = myula_imaging(l2, tv, tau=0.1, gamma=0.5)
+    key = jax.random.PRNGKey(3)
+    x0 = jnp.zeros((n, n), jnp.float64)
+
+    ref = run_chain(kern, x0, key, 10, collect="samples")
+
+    # Row-sharding only on CPU: the XLA *CPU* fft thunk rejects the layout
+    # produced by 2-D (row, col) sharding (fft_thunk.cc RET_CHECK); the TPU
+    # backend partitions both axes. Bench/graft paths exercise TPU.
+    mesh = image_mesh(chains=1, rows=2, cols=1)
+    sharding = NamedSharding(mesh, P("row", None))
+    x0_sharded = jax.device_put(x0, sharding)
+
+    run = jax.jit(
+        lambda x: run_chain(kern, x, key, 10, collect="samples"),
+        in_shardings=sharding,
+    )
+    out = run(x0_sharded)
+    np.testing.assert_allclose(
+        np.asarray(out.samples), np.asarray(ref.samples), atol=1e-10
+    )
+
+
+def test_checkpoint_roundtrip_and_resume():
+    import os
+    import tempfile
+
+    from lmc_atomi_tpu.core.checkpoint import restore_checkpoint, save_checkpoint
+
+    kern = make_kernel()
+    key = jax.random.PRNGKey(9)
+    x0 = jnp.zeros(2)
+
+    # run 100 steps in one go
+    full = run_chain(kern, x0, key, 100, collect="samples")
+
+    # run 50, checkpoint, restore, run 50 more
+    first = run_chain(kern, x0, key, 50, collect="samples")
+    bundle = {"state": first.final_state, "key": key}
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ckpt.msgpack")
+        save_checkpoint(path, bundle)
+        template = {"state": kern.init(x0), "key": jax.random.PRNGKey(0)}
+        restored = restore_checkpoint(path, template)
+
+    assert int(restored["state"].step) == 50
+    np.testing.assert_allclose(
+        np.asarray(restored["state"].position),
+        np.asarray(first.final_state.position),
+        rtol=1e-15,
+    )
+    # resume: the step counter in the state drives the key folding, so the
+    # continued trajectory equals the tail of the full run
+    from lmc_atomi_tpu.core.random import step_key
+    from lmc_atomi_tpu.core.state import SamplerState
+
+    state = restored["state"]
+    positions = []
+    for _ in range(50):
+        state, _ = kern.step(state, step_key(restored["key"], state.step))
+        positions.append(np.asarray(state.position))
+    np.testing.assert_allclose(
+        np.asarray(positions), np.asarray(full.samples)[50:], rtol=1e-12
+    )
