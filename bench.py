@@ -1,0 +1,163 @@
+"""North-star benchmark: MYULA iterations/sec on 512x512 TV-deblurring.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": iters/sec, "unit": "iters/s", "vs_baseline": x}
+
+``vs_baseline`` is the speedup over the CPU reference implementation of the
+same update rule (the reference publishes no numbers — BASELINE.md — so the
+CPU baseline is produced here, the way the reference runs it: a Python loop
+per step over FFT-based operator applications and a 10-iteration Chambolle
+TV prox, cf. reference algs.py:564-583, prox_lmc_deconv.py:465-473).
+
+The device path is the framework's jitted lax.scan with streaming posterior
+moments (no sample hoarding). Extra diagnostic fields go to stderr only.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+N = int(os.environ.get("BENCH_SIZE", "512"))
+STEPS = int(os.environ.get("BENCH_STEPS", "2000"))
+CPU_STEPS = int(os.environ.get("BENCH_CPU_STEPS", "30"))
+SIGMA_NOISE = 0.75
+TV_WEIGHT = 0.3
+TV_ITERS = 10
+
+
+def cpu_baseline_iters_per_sec(y, h):
+    """Reference-style NumPy MYULA: Python loop per step, FFT operator,
+    Chambolle TV prox with 10 inner iterations, host RNG."""
+    rng = np.random.default_rng(0)
+    ny, nx = y.shape
+    eigs = np.fft.fft2(np.roll(
+        np.pad(h, ((0, ny - h.shape[0]), (0, nx - h.shape[1]))),
+        (-(h.shape[0] // 2), -(h.shape[1] // 2)), axis=(0, 1),
+    ))
+    sigma = 1.0 / SIGMA_NOISE**2
+    gamma = SIGMA_NOISE**2
+    tau = 0.2 * gamma
+
+    def matvec(x):
+        return np.real(np.fft.ifft2(np.fft.fft2(x) * eigs))
+
+    def rmatvec(x):
+        return np.real(np.fft.ifft2(np.fft.fft2(x) * np.conj(eigs)))
+
+    def grad_f(x):
+        return sigma * rmatvec(matvec(x) - y)
+
+    def grad2d(x):
+        dy = np.zeros_like(x); dy[:-1] = x[1:] - x[:-1]
+        dx = np.zeros_like(x); dx[:, :-1] = x[:, 1:] - x[:, :-1]
+        return dy, dx
+
+    def div2d(py, px):
+        out = np.zeros_like(py)
+        out[0] = py[0]; out[1:-1] += py[1:-1] - py[:-2]; out[-1] = -py[-2]
+        ox = np.zeros_like(px)
+        ox[:, 0] = px[:, 0]; ox[:, 1:-1] += px[:, 1:-1] - px[:, :-2]
+        ox[:, -1] = -px[:, -2]
+        return out + ox
+
+    def prox_tv(x, g):
+        py = np.zeros_like(x); px = np.zeros_like(x)
+        for _ in range(TV_ITERS):
+            u = div2d(py, px) - x / g
+            gy, gx = grad2d(u)
+            mag = np.sqrt(gy * gy + gx * gx)
+            py = (py + 0.25 * gy) / (1 + 0.25 * mag)
+            px = (px + 0.25 * gx) / (1 + 0.25 * mag)
+        return x - g * div2d(py, px)
+
+    x = np.zeros_like(y)
+    # warm one step (numpy has no compile, but warm caches)
+    t0 = time.perf_counter()
+    for _ in range(CPU_STEPS):
+        xi = rng.standard_normal(y.shape)
+        x = (
+            (1 - tau / gamma) * x
+            - tau * grad_f(x)
+            + (tau / gamma) * prox_tv(x, TV_WEIGHT * gamma)
+            + np.sqrt(2 * tau) * xi
+        )
+    dt = time.perf_counter() - t0
+    return CPU_STEPS / dt
+
+
+def device_iters_per_sec():
+    import jax
+    import jax.numpy as jnp
+
+    from lmc_atomi_tpu.kernels import myula_imaging
+    from lmc_atomi_tpu.ops.functionals import L2Data, TVNorm
+    from lmc_atomi_tpu.ops.linops import CirculantBlur2D, uniform_kernel
+    from lmc_atomi_tpu.run.runner import run_chain
+    from lmc_atomi_tpu.utils.images import phantom
+    from lmc_atomi_tpu.eval.metrics import psnr
+
+    dtype = jnp.float32
+    img = jnp.asarray(phantom(N), dtype)
+    h = uniform_kernel(5, dtype)
+    blur = CirculantBlur2D.from_kernel((N, N), h)
+    key = jax.random.PRNGKey(0)
+    # jit the setup: complex FFT intermediates must stay inside traced code
+    # on the axon TPU runtime
+    y = jax.jit(
+        lambda im, k: blur.matvec(im)
+        + SIGMA_NOISE * jax.random.normal(k, (N, N), dtype)
+    )(img, key)
+
+    gamma = SIGMA_NOISE**2
+    tau = 0.2 * gamma
+    l2 = L2Data(op=blur, b=y, sigma=1.0 / SIGMA_NOISE**2)
+    tv = TVNorm(sigma=TV_WEIGHT, niter=TV_ITERS)
+    kern = myula_imaging(l2, tv, tau=tau, gamma=gamma)
+
+    x0 = jnp.zeros((N, N), dtype)
+
+    run = jax.jit(
+        lambda x, k, n: run_chain(kern, x, k, n, collect="stats"),
+        static_argnums=2,
+    )
+    # compile + warmup
+    warm = run(x0, jax.random.PRNGKey(1), 10)
+    jax.block_until_ready(warm.moments.mean)
+
+    t0 = time.perf_counter()
+    out = run(x0, jax.random.PRNGKey(1), STEPS)
+    jax.block_until_ready(out.moments.mean)
+    dt = time.perf_counter() - t0
+
+    post_psnr = float(psnr(img, out.moments.mean))
+    blur_psnr = float(psnr(img, y))
+    print(
+        f"[bench] device={jax.devices()[0].platform} n={N} steps={STEPS} "
+        f"time={dt:.2f}s psnr_blurred={blur_psnr:.2f} psnr_mean={post_psnr:.2f}",
+        file=sys.stderr,
+    )
+    return STEPS / dt, (np.asarray(y), np.asarray(h))
+
+
+def main():
+    value, (y_np, h_np) = device_iters_per_sec()
+    cpu = cpu_baseline_iters_per_sec(y_np.astype(np.float64), h_np.astype(np.float64))
+    print(f"[bench] cpu_baseline={cpu:.2f} iters/s", file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "metric": f"myula_iters_per_sec_{N}x{N}_tv_deblur",
+                "value": round(value, 2),
+                "unit": "iters/s",
+                "vs_baseline": round(value / cpu, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

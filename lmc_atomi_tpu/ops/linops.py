@@ -123,19 +123,6 @@ def gaussian_kernel(size: int, sigma: float, dtype=jnp.float32) -> jax.Array:
     return k / k.sum()
 
 
-def _embed_kernel(shape: Tuple[int, int], h: jax.Array, offset: Tuple[int, int]):
-    """Embed a small kernel into a full-size circulant first column.
-
-    ``offset`` marks the kernel tap treated as the origin (pylops Convolve2D
-    ``offset`` semantics, reference prox_lmc_deconv.py:58).
-    """
-    ny, nx = shape
-    kh, kw = h.shape
-    e = jnp.zeros(shape, h.dtype)
-    e = jax.lax.dynamic_update_slice(e, h, (0, 0))
-    return jnp.roll(e, shift=(-offset[0], -offset[1]), axis=(0, 1))
-
-
 @struct.dataclass
 class CirculantBlur2D(LinOp):
     """Periodic 2-D convolution, diagonalized by the 2-D DFT.
@@ -146,16 +133,36 @@ class CirculantBlur2D(LinOp):
     uniform/gaussian kernels on natural images the periodic boundary matches
     the reference's zero-padded pylops ``Convolve2D`` away from a (k-1)-pixel
     border frame; ``Convolve2D`` below is the exact-parity variant.
+
+    The spectrum is stored as separate real/imag float arrays (computed on
+    host at build time): complex arrays exist only *inside* traced
+    computations, because the axon TPU runtime rejects complex64 at the
+    eager-op/transfer boundary.
     """
 
-    eigs: jax.Array  # complex spectrum of the point-spread function
+    eigs_re: jax.Array
+    eigs_im: jax.Array
 
     @classmethod
     def from_kernel(cls, shape, h, offset=None):
-        h = jnp.asarray(h)
+        import numpy as _np
+
+        h_np = _np.asarray(h)
         if offset is None:
-            offset = (h.shape[0] // 2, h.shape[1] // 2)
-        return cls(eigs=jnp.fft.fft2(_embed_kernel(tuple(shape), h, offset)))
+            offset = (h_np.shape[0] // 2, h_np.shape[1] // 2)
+        ny, nx = shape
+        e = _np.zeros(tuple(shape), h_np.dtype)
+        e[: h_np.shape[0], : h_np.shape[1]] = h_np
+        e = _np.roll(e, shift=(-offset[0], -offset[1]), axis=(0, 1))
+        eigs = _np.fft.fft2(e)
+        return cls(
+            eigs_re=jnp.asarray(eigs.real, h_np.dtype),
+            eigs_im=jnp.asarray(eigs.imag, h_np.dtype),
+        )
+
+    @property
+    def eigs(self):
+        return jax.lax.complex(self.eigs_re, self.eigs_im)
 
     def matvec(self, x):
         return jnp.fft.ifft2(jnp.fft.fft2(x) * self.eigs).real.astype(x.dtype)
@@ -166,11 +173,11 @@ class CirculantBlur2D(LinOp):
         )
 
     def gram_solve(self, rho, y, niter: int = 0):
-        denom = 1.0 + rho * jnp.abs(self.eigs) ** 2
+        denom = 1.0 + rho * (self.eigs_re**2 + self.eigs_im**2)
         return jnp.fft.ifft2(jnp.fft.fft2(y) / denom).real.astype(y.dtype)
 
     def max_gram_eig(self, probe=None, iters: int = 0):
-        return jnp.max(jnp.abs(self.eigs) ** 2)
+        return jnp.max(self.eigs_re**2 + self.eigs_im**2)
 
 
 @struct.dataclass
