@@ -1,0 +1,16 @@
+from lmc_atomi_tpu.experiments import configs, figures
+from lmc_atomi_tpu.experiments.deconv import prox_lmc_deconv
+from lmc_atomi_tpu.experiments.laplace_mixtures import lmc_laplacian_mixture
+from lmc_atomi_tpu.experiments.mixtures import lmc_gaussian_mixture
+from lmc_atomi_tpu.experiments.prox_mixtures import prox_lmc_gaussian_mixture
+from lmc_atomi_tpu.experiments.sgld_runs import sgld_grid_mixture
+
+__all__ = [
+    "configs",
+    "figures",
+    "prox_lmc_deconv",
+    "lmc_laplacian_mixture",
+    "lmc_gaussian_mixture",
+    "prox_lmc_gaussian_mixture",
+    "sgld_grid_mixture",
+]

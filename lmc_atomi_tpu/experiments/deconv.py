@@ -1,0 +1,220 @@
+"""Workload 4: Bayesian image deconvolution (reference prox_lmc_deconv.py).
+
+One blurred/noisy observation (5x5 uniform blur + N(0, sigma^2) noise,
+reference prox_lmc_deconv.py:55-59) is deblurred under 9 models — 3 assumed
+blur kernels (5/6/7 uniform) x 3 priors (convex isotropic TV, nonconvex
+MC-TV, nonconvex ME-TV) — via either
+
+  * **MAP**: residual-balancing adaptive PDHG (reference
+    prox_lmc_deconv.py:144-298), or
+  * **posterior sampling**: ULPDA or MYULA with streaming posterior mean
+    (the reference hoards N full images then means them,
+    prox_lmc_deconv.py:474-475).
+
+Per-iteration cost / error / SNR / PSNR / MSE series are collected as
+jittable metrics (reference callback prox_lmc_deconv.py:128-133). Step sizes
+follow prox_lmc_deconv.py:88-94.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _model_name(idx: int) -> str:
+    return f"M{idx + 1}"
+
+
+def prox_lmc_deconv(
+    gamma_mc: float = 15.0,
+    gamma_me: float = 15.0,
+    sigma: float = 0.75,
+    tau: float = 0.3,
+    n_steps: int = 1000,
+    niter_l2: int = 50,
+    niter_tv: int = 10,
+    niter_map: int = 1000,
+    image: str = "phantom",
+    size: int = 512,
+    alg: str = "ULPDA",
+    compute_map: bool = False,
+    seed: int = 0,
+    outdir: str = "fig",
+    make_plots: bool = True,
+    collect_metrics: bool = True,
+    platform: str = "",
+):
+    import jax
+
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    import jax.numpy as jnp
+
+    from lmc_atomi_tpu.eval.metrics import mse as mse_fn
+    from lmc_atomi_tpu.eval.metrics import psnr as psnr_fn
+    from lmc_atomi_tpu.eval.metrics import snr as snr_fn
+    from lmc_atomi_tpu.kernels import myula_imaging, ulpda
+    from lmc_atomi_tpu.ops.functionals import L1Norm, L21Norm, L2Data, TVNorm
+    from lmc_atomi_tpu.ops.linops import CirculantBlur2D, Gradient2D, uniform_kernel
+    from lmc_atomi_tpu.ops.ncvx_tv import L2NcvxTV
+    from lmc_atomi_tpu.run.optimize import adaptive_pdhg
+    from lmc_atomi_tpu.run.runner import run_chain
+    from lmc_atomi_tpu.utils.images import phantom
+
+    dtype = jnp.float32 if jax.devices()[0].platform == "tpu" else jnp.float64
+    img = jnp.asarray(phantom(size), dtype)
+    key = jax.random.PRNGKey(seed)
+
+    blurs = {
+        k: CirculantBlur2D.from_kernel((size, size), uniform_kernel(k, dtype))
+        for k in (5, 6, 7)
+    }
+    # one observation from the 5x5 blur (reference prox_lmc_deconv.py:59)
+    y = jax.jit(
+        lambda im, kk: blurs[5].matvec(im)
+        + sigma * jax.random.normal(kk, im.shape, dtype)
+    )(img, key)
+
+    lips = 1.0 / sigma**2
+    tau0 = 0.95 / lips
+    mu0 = 1.0
+    gamma_myula = 1.0 / lips
+    tau_myula = 0.2 * gamma_myula
+
+    grad_op = Gradient2D()
+
+    def data_terms(k):
+        l2 = L2Data(op=blurs[k], b=y, sigma=1.0 / sigma**2, niter_solve=niter_l2)
+        l2_mc = L2NcvxTV(
+            op=blurs[k], b=y, op2=grad_op, sigma=1.0 / sigma**2, lamda=tau,
+            gamma=gamma_mc, isotropic=True, niter_inner=niter_tv,
+            niter_solve=niter_l2,
+        )
+        l2_me = L2NcvxTV(
+            op=blurs[k], b=y, op2=None, sigma=1.0 / sigma**2, lamda=tau,
+            gamma=gamma_me, isotropic=True, niter_inner=niter_tv,
+            niter_solve=niter_l2,
+        )
+        return l2, l2_mc, l2_me
+
+    l1iso = L21Norm(sigma=tau)
+    l1 = L1Norm(sigma=tau)
+    tv = TVNorm(sigma=tau, niter=niter_tv)
+
+    # 9 models: (assumed kernel, data term, primal-dual regularizer)
+    models = []
+    for k in (5, 6, 7):
+        l2, l2_mc, l2_me = data_terms(k)
+        models.append((f"k{k}-TV", l2, l1iso))
+        models.append((f"k{k}-MCTV", l2_mc, l1))
+        models.append((f"k{k}-METV", l2_me, l1iso))
+
+    x0 = jnp.zeros((size, size), dtype)
+
+    def make_metrics(proxf, proxg, pd: bool):
+        if not collect_metrics:
+            return None
+        if pd:
+            cost = lambda x: proxf(x) + proxg(grad_op.matvec(x))
+        else:
+            cost = lambda x: proxf(x) + proxg(x)
+        return {
+            "cost": cost,
+            "err": lambda x: jnp.linalg.norm((x - img).ravel()),
+            "snr": lambda x: snr_fn(img, x),
+            "psnr": lambda x: psnr_fn(img, x),
+            "mse": lambda x: mse_fn(img, x),
+        }
+
+    results, series, timings = {}, {}, {}
+
+    for idx, (name, proxf, proxg) in enumerate(models):
+        mname = _model_name(idx)
+        label = f"{mname} ({name})"
+        t0 = time.perf_counter()
+        if compute_map:
+            metrics = make_metrics(proxf, proxg, pd=True)
+            out = jax.jit(
+                lambda pf, pg, x: adaptive_pdhg(
+                    pf, pg, grad_op, x, tau0, mu0, niter_map, metrics=None
+                )
+            )(proxf, proxg, x0)
+            jax.block_until_ready(out.x)
+            est = out.x
+            met = None
+            if metrics is not None:
+                met = {k: np.asarray([float(f(est))]) for k, f in metrics.items()}
+        else:
+            if alg == "ULPDA":
+                kern = ulpda(proxf, proxg, grad_op, tau=tau0, mu=mu0,
+                             theta=1.0, gfirst=False)
+                metrics = make_metrics(proxf, proxg, pd=True)
+            else:  # MYULA samples with the TV prox regularizer
+                kern = myula_imaging(proxf, tv, tau=tau_myula, gamma=gamma_myula)
+                metrics = make_metrics(proxf, tv, pd=False)
+            res = run_chain(
+                kern, x0, jax.random.fold_in(key, idx), n_steps,
+                collect="stats", metrics=metrics,
+            )
+            jax.block_until_ready(res.moments.mean)
+            est = res.moments.mean
+            met = (
+                {k: np.asarray(v) for k, v in res.metrics.items()}
+                if res.metrics is not None
+                else None
+            )
+        timings[label] = time.perf_counter() - t0
+        results[label] = np.asarray(est)
+        if met is not None:
+            series[label] = met
+
+    branch = "MAP" if compute_map else alg
+    report = {}
+    for label, est in results.items():
+        report[label] = {
+            "snr": float(snr_fn(img, jnp.asarray(est, dtype))),
+            "psnr": float(psnr_fn(img, jnp.asarray(est, dtype))),
+            "mse": float(mse_fn(img, jnp.asarray(est, dtype))),
+        }
+        print(
+            f"SNR of {branch} image with {label}: {report[label]['snr']:.3f}  "
+            f"PSNR: {report[label]['psnr']:.3f}  MSE: {report[label]['mse']:.5f}",
+            file=sys.stderr,
+        )
+
+    if make_plots:
+        from lmc_atomi_tpu.experiments import figures as F
+
+        F.ensure_outdir(outdir)
+        panels = {"Ground truth": np.asarray(img), "Blurred": np.asarray(y)}
+        panels.update(results)
+        stem = f"{outdir}/fig_prox_lmc_deconv_{image}_{branch}_{n_steps if not compute_map else niter_map}"
+        F.image_grid(panels, f"{stem}_images.pdf")
+        if series:
+            F.metric_evolution(series, f"{stem}_snr_psnr_mse.pdf")
+
+    n_iters = niter_map if compute_map else n_steps
+    summary = {
+        "workload": "deconv",
+        "branch": branch,
+        "size": size,
+        "steps": n_iters,
+        "psnr_blurred": float(psnr_fn(img, y)),
+        "report": report,
+        "iters_per_sec": {m: round(n_iters / t, 2) for m, t in timings.items()},
+    }
+    print(json.dumps(summary))
+    return results, series, summary
+
+
+def main():
+    from lmc_atomi_tpu.utils.cli import auto_cli
+
+    auto_cli(prox_lmc_deconv)
+
+
+if __name__ == "__main__":
+    main()

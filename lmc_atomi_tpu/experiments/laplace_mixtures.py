@@ -1,0 +1,135 @@
+"""Workload 2: Laplacian-mixture LMC on the Moreau-smoothed potential
+(reference lmc_laplace.py:220-483).
+
+ULA / MALA / PULA / IHPULA / MLA run on the smoothed potential; truth is
+ancestral multivariate-Laplace sampling; W2 curves evaluate convergence
+(reference truncates the eval to the first K1 samples,
+lmc_laplace.py:387-392 — exposed as ``k_eval``).
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def lmc_laplacian_mixture(
+    gamma_ula: float = 5e-2,
+    gamma_mala: float = 5e-2,
+    gamma_pula: float = 5e-2,
+    gamma_ihpula: float = 5e-2,
+    gamma_mla: float = 5e-2,
+    lamda: float = 1e-1,
+    alpha: float = 1e-1,
+    n: int = 5,
+    k: int = 5000,
+    k_eval: int = 10000,
+    seed: int = 0,
+    n_chains: int = 1,
+    outdir: str = "fig",
+    make_plots: bool = True,
+    eval_w2: bool = True,
+    w2_interval: int = 100,
+    platform: str = "",
+):
+    import jax
+
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    import jax.numpy as jnp
+
+    from lmc_atomi_tpu.eval.metrics import acceptance_rate
+    from lmc_atomi_tpu.eval.wasserstein import w2_prefix_curve
+    from lmc_atomi_tpu.experiments.configs import laplace_mixture_config
+    from lmc_atomi_tpu.kernels import ihpula, mala, mla, pula, ula
+    from lmc_atomi_tpu.models import LaplaceMixture
+    from lmc_atomi_tpu.run.runner import run_chain, run_chains
+
+    mus, alphas, omegas = laplace_mixture_config(n, alpha)
+    lm = LaplaceMixture.create(mus, alphas, omegas, lamda)
+    key = jax.random.PRNGKey(seed)
+    x0 = jax.random.normal(jax.random.fold_in(key, 999), (2,))
+
+    m_pre = jnp.asarray([[1.0, 0.1], [0.1, 0.5]])
+    beta = jnp.asarray([0.7, 0.3])
+
+    kernels = {
+        "ULA": ula(lm.grad_smooth_potential, gamma_ula),
+        "MALA": mala(lm.smooth_log_density, lm.grad_smooth_potential, gamma_mala),
+        "PULA": pula(lm.grad_smooth_potential, gamma_pula, m_pre),
+        "IHPULA": ihpula(
+            lm.grad_smooth_potential, lm.hess_smooth_potential, gamma_ihpula,
+            shift=0.02,  # reference lmc_laplace.py:186
+        ),
+        "MLA": mla(lm.grad_smooth_potential, gamma_mla, beta),
+    }
+
+    samples, timings = {}, {}
+    for i, (name, kern) in enumerate(kernels.items()):
+        kkey = jax.random.fold_in(key, i)
+        t0 = time.perf_counter()
+        if n_chains > 1:
+            res = run_chains(kern, x0, kkey, k, n_chains=n_chains,
+                             collect="samples")
+            s = np.asarray(res.samples).reshape(-1, 2)
+        else:
+            res = run_chain(kern, x0, kkey, k, collect="samples")
+            s = np.asarray(res.samples)
+        jax.block_until_ready(res.samples)
+        timings[name] = time.perf_counter() - t0
+        samples[name] = s
+        if name == "MALA":
+            print(f"MALA percentage of effective samples: "
+                  f"{float(acceptance_rate(res.infos)):.4f}", file=sys.stderr)
+
+    k_true = min(k, k_eval)
+    true = np.asarray(lm.sample(jax.random.fold_in(key, 123), k_true))
+
+    curves = {}
+    if eval_w2:
+        for name, s in samples.items():
+            ks, vals = w2_prefix_curve(
+                jnp.asarray(true), jnp.asarray(s[:k_true]), interval=w2_interval
+            )
+            curves[name] = (np.asarray(ks), np.asarray(vals))
+
+    if make_plots:
+        from lmc_atomi_tpu.experiments import figures as F
+
+        F.ensure_outdir(outdir)
+        grid = np.linspace(-5, 5, 300)
+        xg, yg = np.meshgrid(grid, grid)
+        pos = np.stack([xg, yg], axis=-1)
+        z = np.asarray(lm.density(jnp.asarray(pos)))
+        z_smooth = np.asarray(lm.smooth_density(jnp.asarray(pos)))
+        stem = f"{outdir}/fig_laplace_n{n}_gamma{gamma_ula}_lambda{lamda}_{k}"
+        F.density_surface(xg, yg, z, f"{stem}_1.pdf")
+        F.sample_grid(xg, yg, z, samples, f"{stem}_3.pdf", mode="hist",
+                      extra_panels={"Smoothed density": z_smooth})
+        F.sample_grid(xg, yg, z, samples, f"{stem}_2.pdf", mode="kde",
+                      extra_panels={"Smoothed density": z_smooth})
+        if curves:
+            F.w2_curves(curves, f"{stem}_wass_dist.pdf")
+
+    summary = {
+        "workload": "laplacian_mixture_lmc",
+        "n": n,
+        "k": k,
+        "iters_per_sec": {m: round(k * max(1, n_chains) / t, 1)
+                          for m, t in timings.items()},
+        "final_w2": {m: float(v[1][-1]) for m, v in curves.items()},
+    }
+    print(json.dumps(summary))
+    return samples, curves, summary
+
+
+def main():
+    from lmc_atomi_tpu.utils.cli import auto_cli
+
+    auto_cli(lmc_laplacian_mixture)
+
+
+if __name__ == "__main__":
+    main()

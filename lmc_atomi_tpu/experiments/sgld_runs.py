@@ -1,0 +1,138 @@
+"""Workload 5: SGLD family on the 25-mode grid mixture
+(reference jax/sgld.py, jax/prox_sgld.py).
+
+SGLD / MSGLD / cyclical SGLD / contour SGLD plus proximal variants
+(SPGLD / SSGLD / MYSGLD / cyclical / contour) on the tempered grid target,
+with KDE figures and an importance-resampled CSGLD panel.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def sgld_grid_mixture(
+    lamda: float = 1 / 25.0,
+    sigma: float = 0.03,
+    alpha: float = 1.0,
+    moreau_lam: float = 0.1,
+    k: int = 50000,
+    zeta: float = 0.75,
+    sz: float = 10.0,
+    temperature: float = 50.0,
+    num_partitions: int = 100000,
+    energy_gap: float = 0.25,
+    seed: int = 0,
+    include_prox: bool = True,
+    outdir: str = "fig",
+    make_plots: bool = True,
+    platform: str = "",
+):
+    import jax
+
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    import jax.numpy as jnp
+
+    from lmc_atomi_tpu.experiments.configs import GRID_POSITIONS
+    from lmc_atomi_tpu.kernels import sgmcmc as S
+    from lmc_atomi_tpu.models import GridGaussianMixture
+    from lmc_atomi_tpu.ops.prox import prox_laplace
+    from lmc_atomi_tpu.run.runner import run_chain
+
+    gm = GridGaussianMixture.create(GRID_POSITIONS, sigma=sigma, lam=lamda)
+    key = jax.random.PRNGKey(seed)
+    # reference init: uniform in [-10, 10]^2 (jax/sgld.py:137)
+    x0 = -10 + 20 * jax.random.uniform(key, (2,))
+
+    sched = S.polynomial_schedule(0.05, -0.55)
+    prox_fn = lambda x: prox_laplace(x, moreau_lam * alpha)
+    moreau_grad = lambda x: (x - prox_fn(x)) / moreau_lam
+
+    sa_sched = lambda step: jnp.minimum(1e-2, (step + 100.0) ** (-0.8)) * sz
+
+    kernels = {
+        "SGLD": S.sgld(gm.grad_log_prob, sched),
+        "MSGLD": S.msgld(gm.log_prob, gm.grad_log_prob, sched),
+        "cyclicalSGLD": S.cyclical_sgld(gm.grad_log_prob, k, 30, 0.09, 0.25),
+        "contourSGLD": S.csgld(
+            gm.log_prob, num_partitions=num_partitions, energy_gap=energy_gap,
+            zeta=zeta, temperature=temperature, lr_schedule=1e-3,
+            sa_schedule=sa_sched,
+        ),
+    }
+    if include_prox:
+        kernels.update(
+            {
+                "SPGLD": S.spgld(gm.grad_log_prob, prox_fn, sched),
+                "SSGLD": S.ssgld(gm.grad_log_prob, moreau_grad, sched),
+                "MYSGLD": S.mysgld(gm.grad_log_prob, prox_fn, moreau_lam, sched),
+                "cyclicalSPGLD": S.cyclical_spgld(
+                    gm.grad_log_prob, prox_fn, k, 30, 0.09, 0.25
+                ),
+                "contourSPGLD": S.contour_spgld(
+                    gm.log_prob, prox_fn, num_partitions=num_partitions,
+                    energy_gap=energy_gap, zeta=zeta, temperature=temperature,
+                    lr_schedule=1e-3, sa_schedule=sa_sched,
+                ),
+            }
+        )
+
+    samples, timings = {}, {}
+    for i, (name, kern) in enumerate(kernels.items()):
+        kkey = jax.random.fold_in(key, i)
+        t0 = time.perf_counter()
+        res = run_chain(kern, x0, kkey, k, collect="samples")
+        jax.block_until_ready(res.samples)
+        timings[name] = time.perf_counter() - t0
+        s = np.asarray(res.samples)
+        if name.startswith("cyclical"):
+            # keep only sampling-phase draws (reference jax/sgld.py:320-322)
+            s = s[np.asarray(res.infos.accepted)]
+        elif name.startswith("contour"):
+            energies = np.asarray(res.infos.energy)
+            idx = np.clip(
+                np.ceil((energies - 0.0) / energy_gap).astype(int),
+                1,
+                num_partitions - 1,
+            )
+            pdf = np.asarray(res.final_state.extras.energy_pdf)
+            rs = S.csgld_importance_resample(s, idx, pdf, zeta=zeta)
+            if rs.shape[0] > 100:
+                s = rs
+        samples[name] = s
+        print(f"{name}: {s.shape[0]} retained draws, "
+              f"{k / timings[name]:.0f} iters/s", file=sys.stderr)
+
+    if make_plots:
+        from lmc_atomi_tpu.experiments import figures as F
+
+        F.ensure_outdir(outdir)
+        grid = np.linspace(-8, 8, 200)
+        xg, yg = np.meshgrid(grid, grid)
+        pos = np.stack([xg, yg], axis=-1)
+        z = np.exp(np.asarray(gm.log_prob(jnp.asarray(pos.reshape(-1, 2)))).reshape(xg.shape))
+        stem = f"{outdir}/fig_sgld_grid_{k}"
+        F.sample_grid(xg, yg, z, samples, f"{stem}_hist.pdf", mode="hist", lim=8.0)
+
+    summary = {
+        "workload": "sgld_grid_mixture",
+        "k": k,
+        "iters_per_sec": {m: round(k / t, 1) for m, t in timings.items()},
+        "retained": {m: int(v.shape[0]) for m, v in samples.items()},
+    }
+    print(json.dumps(summary))
+    return samples, summary
+
+
+def main():
+    from lmc_atomi_tpu.utils.cli import auto_cli
+
+    auto_cli(sgld_grid_mixture)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,113 @@
+"""End-to-end smoke tests of the four experiment workloads (tiny configs) —
+the integration layer the reference validated only by eye (SURVEY.md §4)."""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+def test_mixtures_workload(tmp_path):
+    from lmc_atomi_tpu.experiments.mixtures import lmc_gaussian_mixture
+
+    samples, curves, summary = lmc_gaussian_mixture(
+        n=2, k=400, outdir=str(tmp_path), make_plots=True, eval_w2=True,
+        w2_interval=100,
+    )
+    assert set(samples) == {"ULA", "MALA", "PULA", "IHPULA", "MLA"}
+    for s in samples.values():
+        assert s.shape == (400, 2) and np.isfinite(s).all()
+    assert all(np.isfinite(v[1]).all() for v in curves.values())
+    pdfs = list(tmp_path.glob("*.pdf"))
+    assert len(pdfs) >= 4
+
+
+def test_laplace_mixtures_workload(tmp_path):
+    from lmc_atomi_tpu.experiments.laplace_mixtures import lmc_laplacian_mixture
+
+    samples, curves, summary = lmc_laplacian_mixture(
+        n=2, k=300, outdir=str(tmp_path), make_plots=False, eval_w2=True,
+        w2_interval=100,
+    )
+    for s in samples.values():
+        assert s.shape == (300, 2) and np.isfinite(s).all()
+
+
+def test_prox_mixtures_workload(tmp_path):
+    from lmc_atomi_tpu.experiments.prox_mixtures import prox_lmc_gaussian_mixture
+
+    samples, summary = prox_lmc_gaussian_mixture(
+        n=2, k=300, t=20, outdir=str(tmp_path), make_plots=False,
+    )
+    assert set(samples) == {"PGLD", "MYULA", "MYMALA", "PP-ULA", "FBULA", "LBMUMLA"}
+    for s in samples.values():
+        assert np.isfinite(s).all()
+
+
+@pytest.mark.parametrize("alg", ["ULPDA", "MYULA"])
+def test_deconv_sampling_workload(tmp_path, alg):
+    from lmc_atomi_tpu.experiments.deconv import prox_lmc_deconv
+
+    results, series, summary = prox_lmc_deconv(
+        size=32, n_steps=30, niter_tv=5, niter_map=30, alg=alg,
+        outdir=str(tmp_path), make_plots=True,
+    )
+    assert len(results) == 9
+    for est in results.values():
+        assert est.shape == (32, 32) and np.isfinite(est).all()
+    # metric series recorded per model
+    assert len(series) == 9
+    for met in series.values():
+        assert set(met) == {"cost", "err", "snr", "psnr", "mse"}
+        assert met["psnr"].shape == (30,)
+    assert (tmp_path / f"fig_prox_lmc_deconv_phantom_{alg}_30_images.pdf").exists()
+
+
+def test_deconv_map_workload(tmp_path):
+    from lmc_atomi_tpu.experiments.deconv import prox_lmc_deconv
+    from lmc_atomi_tpu.utils.images import phantom
+
+    results, series, summary = prox_lmc_deconv(
+        size=32, niter_map=150, niter_tv=5, compute_map=True,
+        outdir=str(tmp_path), make_plots=False,
+    )
+    assert len(results) == 9
+    # the convex-TV matched-kernel model must beat the blurred PSNR
+    assert summary["report"]["M1 (k5-TV)"]["psnr"] > summary["psnr_blurred"]
+
+
+def test_sgld_workload(tmp_path):
+    from lmc_atomi_tpu.experiments.sgld_runs import sgld_grid_mixture
+
+    samples, summary = sgld_grid_mixture(
+        k=400, num_partitions=128, outdir=str(tmp_path), make_plots=False,
+        include_prox=True,
+    )
+    assert set(samples) >= {
+        "SGLD", "MSGLD", "cyclicalSGLD", "contourSGLD",
+        "SPGLD", "SSGLD", "MYSGLD", "cyclicalSPGLD", "contourSPGLD",
+    }
+    for s in samples.values():
+        assert np.isfinite(s).all()
+
+
+def test_cli_entrypoint():
+    """The auto-CLI must run a workload from the command line."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [
+            sys.executable, "-c",
+            "import jax; jax.config.update('jax_platforms','cpu');"
+            "from lmc_atomi_tpu.experiments.mixtures import main; main()",
+            "--n", "1", "--k", "100", "--make_plots", "false",
+            "--eval_w2", "false",
+        ],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    summary = json.loads(out.stdout.strip().splitlines()[-1])
+    assert summary["workload"] == "gaussian_mixture_lmc"
