@@ -124,8 +124,9 @@ def device_iters_per_sec():
         lambda x, k, n: run_chain(kern, x, k, n, collect="stats"),
         static_argnums=2,
     )
-    # compile + warmup
-    warm = run(x0, jax.random.PRNGKey(1), 10)
+    # compile + warmup at the SAME static step count (a different count is a
+    # different program and the timed call would include recompilation)
+    warm = run(x0, jax.random.PRNGKey(1), STEPS)
     jax.block_until_ready(warm.moments.mean)
 
     t0 = time.perf_counter()

@@ -6,6 +6,7 @@ from lmc_atomi_tpu.eval.metrics import (
     snr,
 )
 from lmc_atomi_tpu.eval.wasserstein import (
+    exact_w2,
     exact_w2_assignment,
     pairwise_sq_dists,
     sinkhorn_w2,
@@ -19,6 +20,7 @@ __all__ = [
     "mse",
     "psnr",
     "snr",
+    "exact_w2",
     "exact_w2_assignment",
     "pairwise_sq_dists",
     "sinkhorn_w2",

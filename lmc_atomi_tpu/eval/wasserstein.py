@@ -113,6 +113,21 @@ def exact_w2_assignment(x, y):
     return float(c[r, cidx].mean())
 
 
+def exact_w2(x, y):
+    """Exact squared W2 between uniform empirical measures of any sizes:
+    native network simplex (native/emd.cpp) when built, Hungarian fallback
+    for equal sizes."""
+    from lmc_atomi_tpu.eval import emd_native
+
+    if emd_native.available():
+        return emd_native.exact_w2(np.asarray(x), np.asarray(y))
+    if np.shape(x)[0] == np.shape(y)[0]:
+        return exact_w2_assignment(x, y)
+    raise RuntimeError(
+        "exact W2 with unequal sizes requires the native EMD library"
+    )
+
+
 def w2_prefix_curve(
     true_samples,
     samples,

@@ -1,0 +1,83 @@
+"""Native exact-EMD solver tests: against the Hungarian assignment (equal
+sizes), scipy linprog (tiny general problems), and marginal feasibility."""
+import numpy as np
+import pytest
+
+from lmc_atomi_tpu.eval import emd_native
+
+pytestmark = pytest.mark.skipif(
+    not emd_native.available(), reason="no C++ toolchain / libemd.so"
+)
+
+
+def test_matches_hungarian_equal_sizes():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(80, 2))
+    y = rng.normal(size=(80, 2)) + 1.0
+    from lmc_atomi_tpu.eval.wasserstein import exact_w2_assignment
+
+    want = exact_w2_assignment(x, y)
+    got = emd_native.exact_w2(x, y)
+    np.testing.assert_allclose(got, want, rtol=1e-10)
+
+
+def test_matches_linprog_general_weights():
+    from scipy.optimize import linprog
+
+    rng = np.random.default_rng(1)
+    n, m = 6, 9
+    a = rng.random(n); a /= a.sum()
+    b = rng.random(m); b /= b.sum()
+    c = rng.random((n, m))
+
+    # LP formulation
+    a_eq = []
+    for i in range(n):
+        row = np.zeros(n * m); row[i * m : (i + 1) * m] = 1; a_eq.append(row)
+    for j in range(m):
+        row = np.zeros(n * m); row[j::m] = 1; a_eq.append(row)
+    res = linprog(
+        c.ravel(), A_eq=np.array(a_eq), b_eq=np.concatenate([a, b]),
+        bounds=(0, None), method="highs",
+    )
+    want = res.fun
+
+    got, flow = emd_native.emd2(a, b, c, return_flow=True)
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+    np.testing.assert_allclose(flow.sum(1), a, atol=1e-12)
+    np.testing.assert_allclose(flow.sum(0), b, atol=1e-12)
+
+
+def test_unequal_sample_counts():
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(50, 2))
+    y = rng.normal(size=(70, 2))
+    val = emd_native.exact_w2(x, y)
+    assert np.isfinite(val) and val >= 0
+
+    # self-distance is ~0
+    self_val = emd_native.exact_w2(x, x)
+    assert self_val < 1e-12
+
+
+def test_identity_cost_structure():
+    # transporting a distribution to itself over a metric cost: zero
+    a = np.array([0.25, 0.25, 0.5])
+    pts = np.array([[0.0], [1.0], [2.0]])
+    c = np.abs(pts[:, None, 0] - pts[None, :, 0]) ** 2
+    val, flow = emd_native.emd2(a, a, c, return_flow=True)
+    np.testing.assert_allclose(val, 0.0, atol=1e-14)
+    np.testing.assert_allclose(np.diag(flow), a, atol=1e-12)
+
+
+def test_moderate_size_performance():
+    import time
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(400, 2))
+    y = rng.normal(size=(400, 2)) + 0.5
+    t0 = time.perf_counter()
+    val = emd_native.exact_w2(x, y)
+    dt = time.perf_counter() - t0
+    assert np.isfinite(val)
+    assert dt < 30.0, f"too slow: {dt:.1f}s"
