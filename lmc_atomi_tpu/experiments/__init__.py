@@ -3,6 +3,8 @@ from lmc_atomi_tpu.experiments.deconv import prox_lmc_deconv
 from lmc_atomi_tpu.experiments.laplace_mixtures import lmc_laplacian_mixture
 from lmc_atomi_tpu.experiments.mixtures import lmc_gaussian_mixture
 from lmc_atomi_tpu.experiments.prox_mixtures import prox_lmc_gaussian_mixture
+from lmc_atomi_tpu.experiments.inpainting import wavelet_inpainting
+from lmc_atomi_tpu.experiments.pnp import pnp_ula_deblur
 from lmc_atomi_tpu.experiments.sgld_runs import sgld_grid_mixture
 
 __all__ = [
@@ -13,4 +15,6 @@ __all__ = [
     "lmc_gaussian_mixture",
     "prox_lmc_gaussian_mixture",
     "sgld_grid_mixture",
+    "wavelet_inpainting",
+    "pnp_ula_deblur",
 ]

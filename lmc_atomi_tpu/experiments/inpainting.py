@@ -1,0 +1,130 @@
+"""Wavelet-l1 inpainting: MYULA vs MALA at up to 512x512
+(BASELINE.json config 4).
+
+Observation: random pixel mask + Gaussian noise. Prior: ``tau ||W x||_1``
+with an orthogonal Haar DWT, whose prox is exact (no inner iterations).
+MYULA uses the Moreau-envelope drift; MALA targets the exact nonsmooth
+posterior with the smoothed-drift proposal and accept/reject.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def wavelet_inpainting(
+    size: int = 512,
+    mask_frac: float = 0.5,
+    sigma: float = 0.1,
+    tau_w: float = 5.0,
+    lam_moreau: float = 0.05,
+    gamma: float = 0.0,
+    mala_step_scale: float = 0.1,
+    n_steps: int = 2000,
+    burn_in: int = 200,
+    levels: int = 3,
+    seed: int = 0,
+    outdir: str = "fig",
+    make_plots: bool = True,
+    platform: str = "",
+):
+    import jax
+
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    import jax.numpy as jnp
+
+    from lmc_atomi_tpu.eval.metrics import acceptance_rate, psnr as psnr_fn
+    from lmc_atomi_tpu.kernels import mala, myula_imaging
+    from lmc_atomi_tpu.ops.functionals import L2Data, OrthogonalL1
+    from lmc_atomi_tpu.ops.linops import Mask
+    from lmc_atomi_tpu.ops.wavelet import HaarDWT2D
+    from lmc_atomi_tpu.run.runner import run_chain
+    from lmc_atomi_tpu.utils.images import phantom
+
+    dtype = jnp.float32 if jax.devices()[0].platform == "tpu" else jnp.float64
+    img = jnp.asarray(phantom(size), dtype) / 255.0
+    key = jax.random.PRNGKey(seed)
+    km, kn, ks = jax.random.split(key, 3)
+    mask = (jax.random.uniform(km, (size, size)) > mask_frac).astype(dtype)
+    m_op = Mask(mask=mask)
+    y = m_op.matvec(img) + sigma * mask * jax.random.normal(kn, img.shape, dtype)
+
+    l2 = L2Data(op=m_op, b=y, sigma=1.0 / sigma**2)
+    wav = OrthogonalL1(op=HaarDWT2D(levels=levels), sigma=tau_w)
+
+    lips = 1.0 / sigma**2
+    if gamma <= 0:
+        gamma = 1.0 / lips
+    tau_step = 0.2 * gamma
+
+    x0 = y  # start at the observed (masked) image
+
+    # MYULA: smooth drift with Moreau-envelope prior gradient
+    kern_myula = myula_imaging(l2, wav, tau=tau_step, gamma=gamma)
+
+    # MALA on the exact nonsmooth posterior with smoothed-drift proposal
+    def log_density(x):
+        return -(l2(x) + wav(x))
+
+    def smoothed_grad(x):
+        return l2.grad(x) + wav.moreau_grad(x, lam_moreau)
+
+    # MALA acceptance at d = size^2 needs a smaller step than the
+    # unadjusted chain (optimal-scaling ~ d^{-1/3})
+    kern_mala = mala(log_density, smoothed_grad, mala_step_scale * tau_step)
+
+    results, timings, extra = {}, {}, {}
+    for i, (name, kern) in enumerate(
+        [("MYULA", kern_myula), ("MALA", kern_mala)]
+    ):
+        t0 = time.perf_counter()
+        res = run_chain(
+            kern, x0, jax.random.fold_in(ks, i), n_steps,
+            collect="stats", burn_in=burn_in,
+        )
+        jax.block_until_ready(res.moments.mean)
+        timings[name] = time.perf_counter() - t0
+        results[name] = np.asarray(res.moments.mean)
+        if name == "MALA":
+            extra["mala_acceptance"] = float(acceptance_rate(res.infos))
+            print(f"MALA acceptance: {extra['mala_acceptance']:.3f}",
+                  file=sys.stderr)
+
+    report = {
+        name: {"psnr": float(psnr_fn(img, jnp.asarray(est, dtype)))}
+        for name, est in results.items()
+    }
+    report["observed"] = {"psnr": float(psnr_fn(img, y))}
+
+    if make_plots:
+        from lmc_atomi_tpu.experiments import figures as F
+
+        F.ensure_outdir(outdir)
+        panels = {"Ground truth": np.asarray(img), "Observed": np.asarray(y)}
+        panels.update({f"{k} posterior mean": v for k, v in results.items()})
+        F.image_grid(panels, f"{outdir}/fig_inpainting_{size}_{n_steps}.pdf")
+
+    summary = {
+        "workload": "wavelet_inpainting",
+        "size": size,
+        "steps": n_steps,
+        "report": report,
+        "iters_per_sec": {m: round(n_steps / t, 2) for m, t in timings.items()},
+        **extra,
+    }
+    print(json.dumps(summary))
+    return results, summary
+
+
+def main():
+    from lmc_atomi_tpu.utils.cli import auto_cli
+
+    auto_cli(wavelet_inpainting)
+
+
+if __name__ == "__main__":
+    main()

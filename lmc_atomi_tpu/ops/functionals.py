@@ -16,7 +16,14 @@ from flax import struct
 from lmc_atomi_tpu.ops import tv as tv_ops
 from lmc_atomi_tpu.ops.prox import prox_laplace
 
-__all__ = ["L2Data", "L1Norm", "L21Norm", "TVNorm", "TV1DNorm"]
+__all__ = [
+    "L2Data",
+    "L1Norm",
+    "L21Norm",
+    "TVNorm",
+    "TV1DNorm",
+    "OrthogonalL1",
+]
 
 
 @struct.dataclass
@@ -95,6 +102,28 @@ class TVNorm:
 
     def prox(self, x, tau):
         return tv_ops.prox_tv_iso(x, tau * self.sigma, self.niter)
+
+
+@struct.dataclass
+class OrthogonalL1:
+    """``g(x) = sigma ||W x||_1`` for an *orthogonal* analysis operator W
+    (e.g. Haar DWT): the prox has the exact closed form
+    ``W^T soft(W x, tau sigma)`` — the wavelet-l1 prior of BASELINE.json
+    config 4."""
+
+    op: Any  # orthogonal LinOp (rmatvec == inverse)
+    sigma: float = 1.0
+
+    def __call__(self, x):
+        return self.sigma * jnp.sum(jnp.abs(self.op.matvec(x)))
+
+    def prox(self, x, tau):
+        c = self.op.matvec(x)
+        return self.op.rmatvec(prox_laplace(c, tau * self.sigma))
+
+    def moreau_grad(self, x, lam):
+        """grad of the lam-Moreau envelope: (x - prox_lam(x))/lam."""
+        return (x - self.prox(x, lam)) / lam
 
 
 @struct.dataclass

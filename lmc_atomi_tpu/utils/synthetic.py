@@ -1,0 +1,50 @@
+"""Random piecewise-smooth synthetic images (device-side, vmappable).
+
+Training data for the PnP denoiser prior and test data for inpainting /
+deblurring: random rectangles, disks, and linear ramps composited per PRNG
+key — all ``jnp`` ops so batches generate on-chip under vmap.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["random_phantom", "random_phantom_batch"]
+
+
+def random_phantom(key, n: int, n_shapes: int = 6, dtype=jnp.float32):
+    """One random piecewise-smooth n x n image in [0, 1]."""
+    kr, kbg = jax.random.split(key)
+    yy, xx = jnp.meshgrid(
+        jnp.arange(n, dtype=dtype) / n, jnp.arange(n, dtype=dtype) / n,
+        indexing="ij",
+    )
+    kb1, kb2, kb3 = jax.random.split(kbg, 3)
+    img = (
+        0.2
+        + 0.3 * jax.random.uniform(kb1, (), dtype)
+        + 0.3 * jax.random.uniform(kb2, (), dtype) * xx
+        + 0.3 * jax.random.uniform(kb3, (), dtype) * yy
+    ) * jnp.ones((n, n), dtype)
+
+    def add_shape(img, k):
+        kt, kc, ks, kv = jax.random.split(k, 4)
+        cy, cx = jax.random.uniform(kc, (2,), dtype, 0.1, 0.9)
+        sy, sx = jax.random.uniform(ks, (2,), dtype, 0.05, 0.35)
+        val = jax.random.uniform(kv, (), dtype, 0.0, 1.0)
+        is_disk = jax.random.bernoulli(kt)
+        disk = ((yy - cy) / sy) ** 2 + ((xx - cx) / sx) ** 2 < 1.0
+        rect = (jnp.abs(yy - cy) < sy) & (jnp.abs(xx - cx) < sx)
+        mask = jnp.where(is_disk, disk, rect)
+        return jnp.where(mask, val, img)
+
+    keys = jax.random.split(kr, n_shapes)
+    for i in range(n_shapes):
+        img = add_shape(img, keys[i])
+    return jnp.clip(img, 0.0, 1.0)
+
+
+def random_phantom_batch(key, batch: int, n: int, dtype=jnp.float32):
+    return jax.vmap(lambda k: random_phantom(k, n, dtype=dtype))(
+        jax.random.split(key, batch)
+    )
