@@ -42,6 +42,8 @@ class L2Data:
         return 0.5 * self.sigma * jnp.sum(jnp.square(self.op.matvec(x) - self.b))
 
     def grad(self, x):
+        if hasattr(self.op, "normal_grad"):
+            return self.sigma * self.op.normal_grad(x, self.b)
         return self.sigma * self.op.rmatvec(self.op.matvec(x) - self.b)
 
     def prox(self, x, tau):

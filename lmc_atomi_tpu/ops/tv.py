@@ -81,14 +81,27 @@ def tv1d(x):
     return jnp.sum(jnp.abs(x[1:] - x[:-1]))
 
 
-def prox_tv_iso(x, gamma, niter: int = 10, step: float = 0.25):
+def prox_tv_iso(x, gamma, niter: int = 10, step: float = 0.25,
+                backend: str = "auto"):
     """Prox of ``gamma * TV_iso`` via Chambolle dual projection.
 
     Iterates ``p <- (p + step*grad(div p - x/gamma)) / (1 + step*|...|_2)``
     with the per-pixel Euclidean norm; returns ``x - gamma * div p``.
     ``step <= 1/4`` converges (1/8 is Chambolle's proven constant; 1/4 is the
     standard accelerated choice and what we fix for reproducibility).
+
+    ``backend='auto'`` uses the fused Pallas kernel on TPU when the image
+    fits VMEM (ops/tv_pallas.py); 'xla'/'pallas' force a path.
     """
+    if backend != "xla":
+        from lmc_atomi_tpu.ops.tv_pallas import (
+            pallas_tv_supported,
+            prox_tv_iso_pallas,
+        )
+
+        if backend == "pallas" or pallas_tv_supported(x.shape, x.dtype):
+            return prox_tv_iso_pallas(x, gamma, niter=niter, step=step)
+
     gamma = jnp.asarray(gamma, x.dtype)
 
     def body(_, p):

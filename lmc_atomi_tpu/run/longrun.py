@@ -1,0 +1,86 @@
+"""Resumable long-run driver: checkpointed scan segments.
+
+1e5-step imaging runs (the north-star scale, BASELINE.json) execute as
+host-level segments of one jitted scan each; after every segment the full
+bundle — sampler state, streaming moments, base key, emitted count — is
+checkpointed, so a preempted run resumes mid-trajectory with bit-identical
+continuation (the per-step keys are folds of the base key by the *global*
+step counter carried in the state).
+
+The reference has no such mechanism (SURVEY.md §5: failed 80k-step runs
+rerun from scratch).
+"""
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from lmc_atomi_tpu.core.checkpoint import restore_checkpoint, save_checkpoint
+from lmc_atomi_tpu.core.random import as_key, step_key
+from lmc_atomi_tpu.core.stats import RunningMoments
+from lmc_atomi_tpu.kernels.base import Kernel
+
+__all__ = ["run_resumable"]
+
+
+def run_resumable(
+    kernel: Kernel,
+    x0,
+    key,
+    total_steps: int,
+    segment_steps: int,
+    ckpt_path: Optional[str] = None,
+    burn_in: int = 0,
+    progress: Optional[Callable[[int, dict], None]] = None,
+):
+    """Run ``total_steps`` kernel steps in checkpointed segments.
+
+    Streaming moments accumulate past ``burn_in`` (in steps). Returns a dict
+    bundle ``{state, moments, key, done}``. If ``ckpt_path`` exists, resumes
+    from it.
+    """
+    key = as_key(key)
+    state = kernel.init(x0)
+    bundle = {
+        "state": state,
+        "moments": RunningMoments.init(state.position),
+        "key": key,
+        "done": jnp.zeros((), jnp.int32),
+    }
+    if ckpt_path and os.path.exists(ckpt_path):
+        bundle = restore_checkpoint(ckpt_path, bundle)
+
+    @jax.jit
+    def segment(bundle):
+        def body(carry, _):
+            st, mom = carry
+            k = step_key(bundle["key"], st.step)
+            st, info = kernel.step(st, k)
+            w = (st.step > burn_in).astype(jnp.int32)
+            mom = mom.update(st.position, weight=w)
+            return (st, mom), None
+
+        (st, mom), _ = jax.lax.scan(
+            body,
+            (bundle["state"], bundle["moments"]),
+            None,
+            length=segment_steps,
+        )
+        return {
+            "state": st,
+            "moments": mom,
+            "key": bundle["key"],
+            "done": bundle["done"] + segment_steps,
+        }
+
+    while int(bundle["done"]) < total_steps:
+        bundle = segment(bundle)
+        jax.block_until_ready(bundle["state"].position)
+        if ckpt_path:
+            save_checkpoint(ckpt_path, bundle)
+        if progress is not None:
+            progress(int(bundle["done"]), bundle)
+    return bundle

@@ -1,0 +1,67 @@
+"""Resumable-run and observability tests."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lmc_atomi_tpu.kernels import ula
+from lmc_atomi_tpu.models import GaussianMixture
+from lmc_atomi_tpu.run.longrun import run_resumable
+from lmc_atomi_tpu.utils.trace import Timer, print_iteration_table, should_log
+
+MUS = np.array([[0.0, 0.0], [-2.0, 3.0]])
+SIGMAS = np.array([[[1.0, -0.5], [-0.5, 1.0]], [[0.5, 0.2], [0.2, 0.7]]])
+
+
+def make_kernel():
+    gm = GaussianMixture.create(MUS, SIGMAS, np.ones(2) / 2)
+    return ula(gm.grad_potential, 0.05)
+
+
+def test_resumable_matches_uninterrupted(tmp_path):
+    kern = make_kernel()
+    key = jax.random.PRNGKey(0)
+    x0 = jnp.zeros(2)
+
+    straight = run_resumable(kern, x0, key, total_steps=120, segment_steps=40)
+
+    # interrupted: run 1 segment, "crash", resume from checkpoint
+    ckpt = str(tmp_path / "run.ckpt")
+    partial = run_resumable(kern, x0, key, total_steps=40, segment_steps=40,
+                            ckpt_path=ckpt)
+    assert os.path.exists(ckpt)
+    resumed = run_resumable(kern, x0, key, total_steps=120, segment_steps=40,
+                            ckpt_path=ckpt)
+
+    np.testing.assert_allclose(
+        np.asarray(resumed["state"].position),
+        np.asarray(straight["state"].position),
+        rtol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(resumed["moments"].mean),
+        np.asarray(straight["moments"].mean),
+        rtol=1e-10,
+    )
+    assert int(resumed["done"]) == 120
+
+
+def test_should_log_policy():
+    rows = [i for i in range(100) if should_log(i, 100)]
+    assert set(range(10)).issubset(rows)  # first 10
+    assert set(range(91, 100)).issubset(rows)  # last 10
+    assert 50 in rows  # every n//10
+
+
+def test_iteration_table_renders(capsys):
+    out = print_iteration_table({"U": np.arange(30.0), "f": np.ones(30)})
+    assert "Itn" in out and "U" in out
+    assert out.count("\n") < 30  # thinned rows
+
+
+def test_timer_reports_iters(capsys):
+    with Timer("test", n_iters=100) as t:
+        jnp.ones((64, 64)).sum().block_until_ready()
+    assert t.elapsed > 0
+    assert t.iters_per_sec > 0
