@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 __all__ = [
     "prox_conjugate",
+    "prox_square_loss",
     "prox_laplace",
     "soft_threshold",
     "prox_uncentered_laplace",
@@ -50,6 +51,13 @@ def prox_conjugate(x, gamma, prox: Callable):
     (reference prox.py:9-10).
     """
     return x - gamma * prox(x / gamma, 1.0 / gamma)
+
+
+def prox_square_loss(x, y, op, gamma, niter: int = 50):
+    """Prox of ``(1/2)||Op u - y||^2``: ``(I + gamma Op^T Op)^{-1}(x + gamma
+    Op^T y)`` (reference prox.py:13-15, which LSQR-solves it via pylops
+    ``div``). Exact when the operator has a spectral ``gram_solve``."""
+    return op.gram_solve(gamma, x + gamma * op.rmatvec(y), niter=niter)
 
 
 def prox_laplace(x, gamma):
