@@ -25,6 +25,7 @@ def pnp_ula_deblur(
     n_steps: int = 2000,
     burn_in: int = 200,
     n_chains: int = 8,
+    chain_block: int = 128,
     ci_z: float = 1.96,
     seed: int = 0,
     outdir: str = "fig",
@@ -73,10 +74,20 @@ def pnp_ula_deblur(
 
     t0 = time.perf_counter()
     if n_chains > 1:
-        res = run_chains(kern, y, ks, n_steps, n_chains=n_chains,
-                         collect="stats", burn_in=burn_in)
-        jax.block_until_ready(res.moments.mean)
-        pooled = merge_chain_moments(res.moments)
+        # Chains run in vmapped blocks (DnCNN activations at 1024x256^2
+        # would exceed single-chip HBM); blocks merge into one pooled
+        # streaming estimate, so the statistics are those of all n_chains.
+        block = min(chain_block, n_chains)
+        pooled = None
+        run_block = jax.jit(
+            lambda k: run_chains(kern, y, k, n_steps, n_chains=block,
+                                 collect="stats", burn_in=burn_in)
+        )
+        for b in range(0, n_chains, block):
+            res = run_block(jax.random.fold_in(ks, b))
+            jax.block_until_ready(res.moments.mean)
+            part = merge_chain_moments(res.moments)
+            pooled = part if pooled is None else pooled.merge(part)
     else:
         res = run_chain(kern, y, ks, n_steps, collect="stats", burn_in=burn_in)
         jax.block_until_ready(res.moments.mean)
