@@ -6,6 +6,7 @@ from lmc_atomi_tpu.eval.metrics import (
     snr,
 )
 from lmc_atomi_tpu.eval.wasserstein import (
+    w2_prefix_curve_exact,
     exact_w2,
     exact_w2_assignment,
     pairwise_sq_dists,
@@ -26,4 +27,5 @@ __all__ = [
     "sinkhorn_w2",
     "sliced_w2",
     "w2_prefix_curve",
+    "w2_prefix_curve_exact",
 ]

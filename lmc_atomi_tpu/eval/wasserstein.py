@@ -20,7 +20,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["pairwise_sq_dists", "sinkhorn_w2", "sliced_w2", "exact_w2_assignment", "w2_prefix_curve"]
+__all__ = [
+    "pairwise_sq_dists",
+    "sinkhorn_w2",
+    "sliced_w2",
+    "exact_w2",
+    "exact_w2_assignment",
+    "w2_prefix_curve",
+    "w2_prefix_curve_exact",
+]
 
 
 def pairwise_sq_dists(x, y):
@@ -126,6 +134,31 @@ def exact_w2(x, y):
     raise RuntimeError(
         "exact W2 with unequal sizes requires the native EMD library"
     )
+
+
+def w2_prefix_curve_exact(
+    true_samples,
+    samples,
+    interval: int = 100,
+    max_points: int = 2000,
+):
+    """The reference's exact-EMD W2-vs-samples curve (lmc.py:396-414):
+    network-simplex EMD (native/emd.cpp) between ``true_samples`` and each
+    prefix, on host. Subsamples to ``max_points`` like the Sinkhorn curve.
+    Returns (ks, w2) with w2 the root of the squared distance."""
+    from lmc_atomi_tpu.eval import emd_native
+
+    true_np = np.asarray(true_samples)
+    s_np = np.asarray(samples)
+    ts = true_np[:: max(1, true_np.shape[0] // max_points)]
+    ks = list(range(2, s_np.shape[0] + 1, interval))
+    vals = []
+    for k in ks:
+        prefix = s_np[:k]
+        if prefix.shape[0] > max_points:
+            prefix = prefix[:: prefix.shape[0] // max_points]
+        vals.append(np.sqrt(max(emd_native.exact_w2(ts, prefix), 0.0)))
+    return np.asarray(ks), np.asarray(vals)
 
 
 def w2_prefix_curve(

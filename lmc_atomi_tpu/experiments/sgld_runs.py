@@ -128,6 +128,67 @@ def sgld_grid_mixture(
     return samples, summary
 
 
+def optimize_grid_mixture(
+    lamda: float = 1 / 25.0,
+    sigma: float = 0.03,
+    steps: int = 2000,
+    n_restarts: int = 64,
+    optimizer: str = "adam",
+    lr: float = 0.05,
+    seed: int = 0,
+    platform: str = "",
+):
+    """Optimization-flavored harness on the grid target (component C24,
+    reference jax/sgld_opt.py): multi-restart mode finding with optax,
+    vmapped over restarts on device."""
+    import jax
+
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    import jax.numpy as jnp
+    import optax
+
+    from lmc_atomi_tpu.experiments.configs import GRID_POSITIONS
+    from lmc_atomi_tpu.models import GridGaussianMixture
+
+    gm = GridGaussianMixture.create(GRID_POSITIONS, sigma=sigma, lam=lamda)
+    opt = {"adam": optax.adam, "sgd": optax.sgd}[optimizer](lr)
+
+    key = jax.random.PRNGKey(seed)
+    x0 = -10 + 20 * jax.random.uniform(key, (n_restarts, 2))
+
+    @jax.jit
+    def solve(x0):
+        def one(x):
+            state = opt.init(x)
+
+            def body(carry, _):
+                x, state = carry
+                g = jax.grad(lambda z: -gm.log_prob(z))(x)
+                updates, state = opt.update(g, state, x)
+                return (optax.apply_updates(x, updates), state), None
+
+            (x, _), _ = jax.lax.scan(body, (x, state), None, length=steps)
+            return x, gm.log_prob(x)
+
+        return jax.vmap(one)(x0)
+
+    xs, logps = solve(x0)
+    xs, logps = np.asarray(xs), np.asarray(logps)
+    # count distinct recovered modes (snap to the grid)
+    snapped = np.round(xs / 2.0) * 2.0
+    modes = {tuple(m) for m in snapped if np.abs(m).max() <= 4.0}
+    summary = {
+        "workload": "grid_mixture_optimization",
+        "optimizer": optimizer,
+        "restarts": n_restarts,
+        "modes_found": len(modes),
+        "best_logprob": float(logps.max()),
+    }
+    print(json.dumps(summary))
+    return xs, logps, summary
+
+
 def main():
     from lmc_atomi_tpu.utils.cli import auto_cli
 

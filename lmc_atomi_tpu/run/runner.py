@@ -40,6 +40,7 @@ class ChainResult(NamedTuple):
     metrics: Optional[Dict[str, jnp.ndarray]]
     moments: Optional[RunningMoments]
     quantiles: Optional[Any]  # dict p -> RunningQuantile
+    extras: Optional[Any] = None  # stacked kernel extras (e.g. ULPDA duals)
 
 
 def _emit_block(kernel: Kernel, key, thin: int):
@@ -75,6 +76,7 @@ def run_chain(
     quantile_ps: tuple = (),
     burn_in: int = 0,
     init_args: tuple = (),
+    collect_extras: bool = False,
     unroll: int = 1,
 ) -> ChainResult:
     """Run one chain for ``n_steps`` kernel steps (jit-compiled caller side).
@@ -111,6 +113,10 @@ def run_chain(
         out = {"info": info}
         if want_samples:
             out["position"] = state.position
+        if collect_extras:
+            # e.g. ULPDA dual-variable samples (the reference's returny,
+            # algs.py:429-451)
+            out["extras"] = state.extras
         if metrics:
             out["metrics"] = {name: fn(state.position) for name, fn in metrics.items()}
         if want_stats:
@@ -138,6 +144,7 @@ def run_chain(
         metrics=outs.get("metrics"),
         moments=moments,
         quantiles=quants,
+        extras=outs.get("extras"),
     )
 
 

@@ -1,0 +1,51 @@
+"""Parity extras: ULPDA dual collection, exact W2 prefix curve, grid-mixture
+optimization harness."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def test_ulpda_dual_samples_collected():
+    from lmc_atomi_tpu.kernels import ulpda
+    from lmc_atomi_tpu.ops.functionals import L21Norm, L2Data
+    from lmc_atomi_tpu.ops.linops import CirculantBlur2D, Gradient2D, uniform_kernel
+    from lmc_atomi_tpu.run.runner import run_chain
+    from lmc_atomi_tpu.utils.images import phantom
+
+    n = 16
+    img = jnp.asarray(phantom(n, np.float64))
+    H = CirculantBlur2D.from_kernel((n, n), uniform_kernel(3, jnp.float64))
+    y = H.matvec(img)
+    l2 = L2Data(op=H, b=y, sigma=1.0)
+    l21 = L21Norm(sigma=0.3)
+    G = Gradient2D()
+    kern = ulpda(l2, l21, G, tau=0.05, mu=1.0)
+    res = run_chain(kern, jnp.zeros((n, n), jnp.float64), jax.random.PRNGKey(0),
+                    10, collect="samples", collect_extras=True)
+    # dual samples: (steps, 2, n, n), the reference's returny (algs.py:429)
+    assert res.extras.y.shape == (10, 2, n, n)
+    assert np.isfinite(np.asarray(res.extras.y)).all()
+
+
+def test_w2_prefix_curve_exact_matches_sinkhorn_trend():
+    from lmc_atomi_tpu.eval import emd_native, w2_prefix_curve_exact
+
+    if not emd_native.available():
+        pytest.skip("native EMD unavailable")
+    rng = np.random.default_rng(0)
+    true = rng.normal(size=(300, 2))
+    samples = rng.normal(size=(300, 2))
+    ks, vals = w2_prefix_curve_exact(true, samples, interval=100)
+    assert len(ks) == len(vals) == 3
+    assert vals[-1] < vals[0]  # more samples -> closer
+
+
+def test_optimize_grid_mixture_finds_modes():
+    from lmc_atomi_tpu.experiments.sgld_runs import optimize_grid_mixture
+
+    xs, logps, summary = optimize_grid_mixture(steps=400, n_restarts=32)
+    assert summary["modes_found"] >= 3
+    # every restart ends near some grid mode
+    snapped = np.round(xs / 2.0) * 2.0
+    assert np.abs(xs - snapped).max() < 0.3
