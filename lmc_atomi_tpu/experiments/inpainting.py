@@ -3,8 +3,10 @@
 
 Observation: random pixel mask + Gaussian noise. Prior: ``tau ||W x||_1``
 with an orthogonal Haar DWT, whose prox is exact (no inner iterations).
-MYULA uses the Moreau-envelope drift; MALA targets the exact nonsmooth
-posterior with the smoothed-drift proposal and accept/reject.
+MYULA uses the Moreau-envelope drift; MALA targets the Moreau-smoothed
+posterior with accept/reject (exact-target MALA on an l1 posterior at
+d = size^2 has an O(d*step) kink penalty in the log ratio -> zero
+acceptance; that failure mode is the MYULA family's raison d'etre).
 """
 from __future__ import annotations
 
@@ -22,7 +24,7 @@ def wavelet_inpainting(
     tau_w: float = 5.0,
     lam_moreau: float = 0.05,
     gamma: float = 0.0,
-    mala_step_scale: float = 0.1,
+    mala_step_scale: float = 0.0,  # <=0: auto 0.2*(1024/d)^(1/3)
     n_steps: int = 2000,
     burn_in: int = 200,
     levels: int = 3,
@@ -66,16 +68,23 @@ def wavelet_inpainting(
     # MYULA: smooth drift with Moreau-envelope prior gradient
     kern_myula = myula_imaging(l2, wav, tau=tau_step, gamma=gamma)
 
-    # MALA on the exact nonsmooth posterior with smoothed-drift proposal
-    def log_density(x):
-        return -(l2(x) + wav(x))
+    # MALA targets the Moreau-SMOOTHED posterior (as the reference's MALA
+    # does, lmc_laplace.py:131): exact-target MALA on an l1 posterior at
+    # d = size^2 has an O(d * step) irreducible kink penalty in the log
+    # ratio — zero acceptance at any usable step; that failure mode is the
+    # motivation for the MYULA family.
+    def log_density_smooth(x):
+        return -(l2(x) + wav.moreau_value(x, lam_moreau))
 
     def smoothed_grad(x):
         return l2.grad(x) + wav.moreau_grad(x, lam_moreau)
 
-    # MALA acceptance at d = size^2 needs a smaller step than the
-    # unadjusted chain (optimal-scaling ~ d^{-1/3})
-    kern_mala = mala(log_density, smoothed_grad, mala_step_scale * tau_step)
+    # smooth-target MALA: optimal-scaling ~ d^{-1/3}, constant tuned for
+    # ~0.5-0.7 acceptance at 512^2
+    if mala_step_scale <= 0:
+        mala_step_scale = 0.2 * (1024.0 / (size * size)) ** (1.0 / 3.0)
+    kern_mala = mala(log_density_smooth, smoothed_grad,
+                     mala_step_scale * tau_step)
 
     results, timings, extra = {}, {}, {}
     for i, (name, kern) in enumerate(

@@ -127,6 +127,15 @@ class OrthogonalL1:
         """grad of the lam-Moreau envelope: (x - prox_lam(x))/lam."""
         return (x - self.prox(x, lam)) / lam
 
+    def moreau_value(self, x, lam):
+        """lam-Moreau envelope value (in coefficient space, W orthogonal):
+        sigma ||p||_1 + ||p - c||^2 / (2 lam), p = soft(c, lam sigma)."""
+        c = self.op.matvec(x)
+        p = prox_laplace(c, lam * self.sigma)
+        return self.sigma * jnp.sum(jnp.abs(p)) + jnp.sum(
+            jnp.square(p - c)
+        ) / (2.0 * lam)
+
 
 @struct.dataclass
 class TV1DNorm:

@@ -79,6 +79,25 @@ def run_resumable(
     while int(bundle["done"]) < total_steps:
         bundle = segment(bundle)
         jax.block_until_ready(bundle["state"].position)
+        # failure detection: a diverged chain is caught at the segment
+        # boundary, before the checkpoint is overwritten, so the last good
+        # checkpoint stays restorable (SURVEY.md §5 — the reference reruns
+        # 80k-step jobs from scratch on failure)
+        finite = bool(
+            jnp.all(
+                jnp.stack(
+                    [jnp.isfinite(l).all() for l in jax.tree.leaves(
+                        bundle["state"].position)]
+                )
+            )
+        )
+        if not finite:
+            raise FloatingPointError(
+                f"chain diverged (non-finite position) before step "
+                f"{int(bundle['done'])}; last checkpoint at "
+                f"{int(bundle['done']) - segment_steps} steps"
+                + (f" in {ckpt_path}" if ckpt_path else "")
+            )
         if ckpt_path:
             save_checkpoint(ckpt_path, bundle)
         if progress is not None:

@@ -65,3 +65,14 @@ def test_timer_reports_iters(capsys):
         jnp.ones((64, 64)).sum().block_until_ready()
     assert t.elapsed > 0
     assert t.iters_per_sec > 0
+
+
+def test_divergence_guard(tmp_path):
+    import pytest
+
+    # explosive "gradient": gamma far above stability -> divergence
+    kern = ula(lambda x: -100.0 * x, 1.0)
+    with pytest.raises(FloatingPointError, match="diverged"):
+        run_resumable(kern, jnp.ones(2) * 1e30, jax.random.PRNGKey(0),
+                      total_steps=200, segment_steps=50,
+                      ckpt_path=str(tmp_path / "div.ckpt"))
