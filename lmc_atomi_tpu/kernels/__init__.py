@@ -1,5 +1,6 @@
 from lmc_atomi_tpu.kernels.base import Kernel, stepsize_at
 from lmc_atomi_tpu.kernels.imaging import myula_imaging, pnp_ula, ulpda
+from lmc_atomi_tpu.kernels.myula_pallas import myula_imaging_fused
 from lmc_atomi_tpu.kernels.langevin import ihpula, mala, mla, pula, sqrtm_psd, ula
 from lmc_atomi_tpu.kernels.proximal import fbula, lbmumla, mymala, myula, pgld, ppula
 from lmc_atomi_tpu.kernels.sgmcmc import (
@@ -48,5 +49,6 @@ __all__ = [
     "lbmumla",
     "ulpda",
     "myula_imaging",
+    "myula_imaging_fused",
     "pnp_ula",
 ]
