@@ -1,3 +1,8 @@
+from lmc_atomi_tpu.eval.diagnostics import (
+    autocorrelation,
+    effective_sample_size,
+    split_rhat,
+)
 from lmc_atomi_tpu.eval.metrics import (
     acceptance_rate,
     effective_sample_mask,
@@ -16,6 +21,9 @@ from lmc_atomi_tpu.eval.wasserstein import (
 )
 
 __all__ = [
+    "autocorrelation",
+    "effective_sample_size",
+    "split_rhat",
     "acceptance_rate",
     "effective_sample_mask",
     "mse",
