@@ -1,4 +1,5 @@
 from lmc_atomi_tpu.experiments import configs, figures
+from lmc_atomi_tpu.experiments.ct import ct_tv_myula
 from lmc_atomi_tpu.experiments.deconv import prox_lmc_deconv
 from lmc_atomi_tpu.experiments.laplace_mixtures import lmc_laplacian_mixture
 from lmc_atomi_tpu.experiments.mixtures import lmc_gaussian_mixture
@@ -17,4 +18,5 @@ __all__ = [
     "sgld_grid_mixture",
     "wavelet_inpainting",
     "pnp_ula_deblur",
+    "ct_tv_myula",
 ]

@@ -49,3 +49,43 @@ def test_optimize_grid_mixture_finds_modes():
     # every restart ends near some grid mode
     snapped = np.round(xs / 2.0) * 2.0
     assert np.abs(xs - snapped).max() < 0.3
+
+
+def test_ct_workload_small(tmp_path):
+    from lmc_atomi_tpu.experiments.ct import ct_tv_myula
+
+    mean, std, report = ct_tv_myula(
+        size=32, n_angles=16, n_steps=800, burn_in=100,
+        outdir=str(tmp_path), make_plots=False,
+    )
+    assert mean.shape == (32, 32) and np.isfinite(mean).all()
+    assert report["psnr_posterior_mean"] > report["psnr_backprojection"]
+
+
+def test_sharded_imaging_chain_farm():
+    """MYULA imaging chains sharded over the device mesh must equal the
+    vmap-only run (conv operator: the CPU fft thunk rejects sharded batched
+    FFTs; TPU covers the spectral path)."""
+    from lmc_atomi_tpu.kernels import myula_imaging
+    from lmc_atomi_tpu.ops.functionals import L2Data, TVNorm
+    from lmc_atomi_tpu.ops.linops import Convolve2D, uniform_kernel
+    from lmc_atomi_tpu.parallel.mesh import run_chains_sharded
+    from lmc_atomi_tpu.run.runner import run_chains
+    from lmc_atomi_tpu.utils.images import phantom
+
+    n = 24
+    img = jnp.asarray(phantom(n, np.float64))
+    H = Convolve2D.from_kernel(uniform_kernel(5, jnp.float64))
+    y = H.matvec(img)
+    l2 = L2Data(op=H, b=y, sigma=1.0)
+    tv = TVNorm(sigma=0.3, niter=5)
+    kern = myula_imaging(l2, tv, tau=0.1, gamma=0.5)
+    x0 = jnp.zeros((n, n), jnp.float64)
+    key = jax.random.PRNGKey(0)
+
+    plain = run_chains(kern, x0, key, 15, n_chains=8, collect="stats")
+    sharded = run_chains_sharded(kern, x0, key, 15, n_chains=8, collect="stats")
+    np.testing.assert_allclose(
+        np.asarray(sharded.moments.mean), np.asarray(plain.moments.mean),
+        rtol=1e-12,
+    )
