@@ -89,3 +89,13 @@ def test_sharded_imaging_chain_farm():
         np.asarray(sharded.moments.mean), np.asarray(plain.moments.mean),
         rtol=1e-12,
     )
+
+
+def test_l1_denoise_workload(tmp_path):
+    from lmc_atomi_tpu.experiments.denoise import l1_denoise_myula
+
+    mean, report = l1_denoise_myula(
+        size=48, n_steps=800, burn_in=100, outdir=str(tmp_path),
+        make_plots=False,
+    )
+    assert report["psnr_posterior_mean"] > report["psnr_noisy"]
