@@ -114,7 +114,7 @@ def device_iters_per_sec():
 
     gamma = SIGMA_NOISE**2
     tau = 0.2 * gamma
-    l2 = L2Data(op=blur, b=y, sigma=1.0 / SIGMA_NOISE**2)
+    l2 = L2Data.create(op=blur, b=y, sigma=1.0 / SIGMA_NOISE**2)
     tv = TVNorm(sigma=TV_WEIGHT, niter=TV_ITERS)
     kern = myula_imaging(l2, tv, tau=tau, gamma=gamma)
 

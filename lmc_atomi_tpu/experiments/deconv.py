@@ -87,7 +87,7 @@ def prox_lmc_deconv(
     grad_op = Gradient2D()
 
     def data_terms(k):
-        l2 = L2Data(op=blurs[k], b=y, sigma=1.0 / sigma**2, niter_solve=niter_l2)
+        l2 = L2Data.create(op=blurs[k], b=y, sigma=1.0 / sigma**2, niter_solve=niter_l2)
         l2_mc = L2NcvxTV(
             op=blurs[k], b=y, op2=grad_op, sigma=1.0 / sigma**2, lamda=tau,
             gamma=gamma_mc, isotropic=True, niter_inner=niter_tv,

@@ -64,7 +64,7 @@ def pnp_ula_deblur(
     y = jax.jit(
         lambda im, k: blur.matvec(im) + sigma * jax.random.normal(k, im.shape, dtype)
     )(img, kn)
-    l2 = L2Data(op=blur, b=y, sigma=1.0 / sigma**2)
+    l2 = L2Data.create(op=blur, b=y, sigma=1.0 / sigma**2)
 
     lips = 1.0 / sigma**2 + alpha / denoiser_sigma**2
     tau = 0.5 / lips
