@@ -12,7 +12,7 @@ which re-used a single key every iteration).
 """
 from __future__ import annotations
 
-from typing import Sequence
+
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,7 @@ FBP-free streaming posterior mean, uncertainty map from streaming variance.
 from __future__ import annotations
 
 import json
-import sys
+
 import time
 
 import numpy as np

@@ -10,7 +10,7 @@ experiment runs with ``make_plots=False`` for benchmarking.
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional, Sequence
+from typing import Dict, Optional
 
 import numpy as np
 

@@ -12,7 +12,7 @@ are fixed-trip ``fori_loop`` bodies inside the jitted step.
 """
 from __future__ import annotations
 
-from typing import Callable
+
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ Conventions: kernels ascend ``grad_fn = grad log pi`` (blackjax sgld update
 """
 from __future__ import annotations
 
-from typing import Any, Callable, NamedTuple, Optional
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

@@ -6,7 +6,7 @@ general smooth+prox split every proximal kernel consumes.
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any
 
 import jax.numpy as jnp
 from flax import struct

@@ -15,8 +15,8 @@ to shard with the rest of the state.
 """
 from __future__ import annotations
 
-import math
-from typing import Any, Optional, Tuple
+
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ On CPU hosts these paths are exercised with the standard
 """
 from __future__ import annotations
 
-import functools
+
 from typing import Optional
 
 import jax

@@ -19,7 +19,7 @@ get independent folded base keys.
 """
 from __future__ import annotations
 
-import dataclasses
+
 from typing import Any, Callable, Dict, NamedTuple, Optional
 
 import jax
