@@ -46,11 +46,16 @@ class L2Data:
     niter_solve: int = struct.field(pytree_node=False, default=50)
     b_spec_re: Optional[jnp.ndarray] = None
     b_spec_im: Optional[jnp.ndarray] = None
+    atb: Optional[jnp.ndarray] = None  # cached A^T b (stencil-gram path)
 
     @classmethod
     def create(cls, op, b, sigma: float = 1.0, niter_solve: int = 50):
         kwargs = {}
-        if hasattr(op, "_half") and jnp.isrealobj(b):
+        if (getattr(op, "prefer_stencil", False)
+                and getattr(op, "hh", None) is not None and jnp.isrealobj(b)):
+            # opt-in small-PSF stencil path: grad = sigma (A^T A x - A^T b)
+            kwargs["atb"] = jax.jit(op.rmatvec)(b)
+        elif hasattr(op, "_half") and jnp.isrealobj(b):
             def spec(bb):
                 er, ei = op._half()
                 s = jax.lax.complex(er, -ei) * jnp.fft.rfft2(bb)
@@ -65,6 +70,8 @@ class L2Data:
         return 0.5 * self.sigma * jnp.sum(jnp.square(self.op.matvec(x) - self.b))
 
     def grad(self, x):
+        if self.atb is not None and jnp.isrealobj(x):
+            return self.sigma * (self.op.gram_matvec(x) - self.atb)
         if self.b_spec_re is not None and jnp.isrealobj(x):
             er, ei = self.op._half()
             e2 = er * er + ei * ei

@@ -142,6 +142,16 @@ class CirculantBlur2D(LinOp):
 
     eigs_re: jax.Array
     eigs_im: jax.Array
+    h: Optional[jax.Array] = None  # small PSF (stencil path, opt-in)
+    hh: Optional[jax.Array] = None  # autocorrelation of h (the A^T A stencil)
+    offset: Tuple[int, int] = struct.field(pytree_node=False, default=(0, 0))
+    # Direct wrap-conv stencils are OPT-IN: on TPU a single-channel spatial
+    # convolution cannot use the MXU and measured ~25x SLOWER than the rfft
+    # spectral path at 512^2 (8.9s vs 0.32s for the 2000-step bench). The
+    # stencil path remains available for platforms/shapes where it wins.
+    prefer_stencil: bool = struct.field(pytree_node=False, default=False)
+
+    _STENCIL_MAX = 13
 
     @classmethod
     def from_kernel(cls, shape, h, offset=None):
@@ -155,22 +165,59 @@ class CirculantBlur2D(LinOp):
         e[: h_np.shape[0], : h_np.shape[1]] = h_np
         e = _np.roll(e, shift=(-offset[0], -offset[1]), axis=(0, 1))
         eigs = _np.fft.fft2(e)
+        small = max(h_np.shape) <= cls._STENCIL_MAX
+        hh = None
+        if small:
+            # A^T A is circulant convolution with the autocorrelation of h
+            from scipy.signal import correlate2d
+
+            hh = jnp.asarray(correlate2d(h_np, h_np, mode="full"), h_np.dtype)
         return cls(
             eigs_re=jnp.asarray(eigs.real, h_np.dtype),
             eigs_im=jnp.asarray(eigs.imag, h_np.dtype),
+            h=jnp.asarray(h_np) if small else None,
+            hh=hh,
+            offset=tuple(int(o) for o in offset),
         )
 
     @property
     def eigs(self):
         return jax.lax.complex(self.eigs_re, self.eigs_im)
 
+    def _wrap_conv(self, x, kernel, oy, ox):
+        """Periodic convolution: y[i,j] = sum_ab k[a,b] x[(i-a+oy)%, (j-b+ox)%]."""
+        kh, kw = kernel.shape
+        xp = jnp.pad(x, ((kh - 1 - oy, oy), (kw - 1 - ox, ox)), mode="wrap")
+        out = jax.lax.conv_general_dilated(
+            xp[None, None],
+            kernel[::-1, ::-1][None, None].astype(xp.dtype),
+            window_strides=(1, 1),
+            padding="VALID",
+        )
+        return out[0, 0].astype(x.dtype)
+
     def matvec(self, x):
+        if self.prefer_stencil and self.h is not None and jnp.isrealobj(x):
+            return self._wrap_conv(x, self.h, *self.offset)
         return jnp.fft.ifft2(jnp.fft.fft2(x) * self.eigs).real.astype(x.dtype)
 
     def rmatvec(self, y):
+        if self.prefer_stencil and self.h is not None and jnp.isrealobj(y):
+            kh, kw = self.h.shape
+            oy, ox = self.offset
+            return self._wrap_conv(
+                y, self.h[::-1, ::-1], kh - 1 - oy, kw - 1 - ox
+            )
         return jnp.fft.ifft2(jnp.fft.fft2(y) * jnp.conj(self.eigs)).real.astype(
             y.dtype
         )
+
+    def gram_matvec(self, x):
+        """A^T A x: one (2k-1)x(2k-1) wrap stencil for small PSFs (opt-in)."""
+        if self.prefer_stencil and self.hh is not None and jnp.isrealobj(x):
+            c = self.hh.shape[0] // 2
+            return self._wrap_conv(x, self.hh, c, c)
+        return self.rmatvec(self.matvec(x))
 
     def _half(self):
         """Spectrum restricted to the rfft2 half-plane (real inputs)."""
