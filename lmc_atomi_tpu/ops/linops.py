@@ -215,8 +215,9 @@ class CirculantBlur2D(LinOp):
     def gram_matvec(self, x):
         """A^T A x: one (2k-1)x(2k-1) wrap stencil for small PSFs (opt-in)."""
         if self.prefer_stencil and self.hh is not None and jnp.isrealobj(x):
-            c = self.hh.shape[0] // 2
-            return self._wrap_conv(x, self.hh, c, c)
+            return self._wrap_conv(
+                x, self.hh, self.hh.shape[0] // 2, self.hh.shape[1] // 2
+            )
         return self.rmatvec(self.matvec(x))
 
     def _half(self):
