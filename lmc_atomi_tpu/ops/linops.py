@@ -193,6 +193,9 @@ class CirculantBlur2D(LinOp):
             kernel[::-1, ::-1][None, None].astype(xp.dtype),
             window_strides=(1, 1),
             padding="VALID",
+            # TPU convs default to bf16 accumulation: force full precision so
+            # the stencil path agrees with the spectral path
+            precision=jax.lax.Precision.HIGHEST,
         )
         return out[0, 0].astype(x.dtype)
 
@@ -283,6 +286,7 @@ class Convolve2D(LinOp):
             kernel[::-1, ::-1][None, None].astype(xp.dtype),
             window_strides=(1, 1),
             padding="VALID",
+            precision=jax.lax.Precision.HIGHEST,
         )
         return out[0, 0].astype(x.dtype)
 

@@ -104,3 +104,30 @@ def test_max_gram_eig_circulant_and_gradient():
     probe = jax.random.normal(KEY, (16, 16), jnp.float64)
     pm = L.LinOp.max_gram_eig(g, probe=probe, iters=200)
     assert float(pm) <= 8.0 + 1e-9
+
+
+def test_stencil_gram_path_matches_spectral():
+    """Regression for the rectangular-PSF stencil-gram center bug: the
+    opt-in prefer_stencil gram must equal the spectral A^T A for square and
+    rectangular kernels and non-default offsets."""
+    import dataclasses
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(20, 24)))
+    for h, off in [
+        (np.ones((5, 5)) / 25, None),
+        (rng.normal(size=(3, 5)), None),
+        (rng.normal(size=(4, 3)), (1, 2)),
+    ]:
+        base = L.CirculantBlur2D.from_kernel((20, 24), jnp.asarray(h), off)
+        op = dataclasses.replace(base, prefer_stencil=True)
+        want = jnp.fft.ifft2(jnp.fft.fft2(x) * jnp.abs(base.eigs) ** 2).real
+        got = op.gram_matvec(x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-12)
+        # matvec/rmatvec stencil forms too
+        np.testing.assert_allclose(
+            np.asarray(op.matvec(x)), np.asarray(base.matvec(x)), atol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(op.rmatvec(x)), np.asarray(base.rmatvec(x)), atol=1e-12
+        )
