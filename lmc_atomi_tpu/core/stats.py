@@ -200,8 +200,9 @@ class RunningQuantile:
                     + (np_ - ni - s) * (qi - qm) / (ni - nm)
                 )
                 ok = jnp.logical_and(qm < para, para < qp)
+                # linear fallback (Jain & Chlamtac): q_i + s*(q_{i+s}-q_i)/(n_{i+s}-n_i)
                 lin = qi + s * jnp.where(
-                    s > 0, (qp - qi) / (np_ - ni), (qi - qm) / (nm - ni)
+                    s > 0, (qp - qi) / (np_ - ni), (qi - qm) / (ni - nm)
                 )
                 qnew = jnp.where(do_move, jnp.where(ok, para, lin), qi)
                 nnew = jnp.where(do_move, ni + s, ni)

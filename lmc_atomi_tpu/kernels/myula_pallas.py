@@ -70,7 +70,7 @@ def _kernel(x_ref, g_ref, seed_ref, scal_ref, out_ref, *, niter, step, with_nois
     # --- on-core Gaussian noise (Box-Muller over raw PRNG bits) ------------
     drift = (1.0 - tau / gamma) * x - tau * grad + (tau / gamma) * tvprox
     if with_noise:
-        pltpu.prng_seed(seed_ref[0], seed_ref[1])
+        pltpu.prng_seed(seed_ref[0, 0], seed_ref[0, 1])
         b1 = pltpu.bitcast(pltpu.prng_random_bits(x.shape), jnp.uint32)
         b2 = pltpu.bitcast(pltpu.prng_random_bits(x.shape), jnp.uint32)
         # uniform in (0, 1): top 24 bits (fits int32 — Mosaic cannot cast
@@ -99,6 +99,11 @@ def myula_tv_fused_update(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    # seed rides in VMEM padded to a (1, 128) tile: SMEM operands cannot gain
+    # a batch dim under vmap, and sub-tile VMEM blocks violate Mosaic tiling
+    seed_tile = jnp.zeros((1, 128), jnp.int32)
+    seed_tile = seed_tile.at[0, :2].set(jnp.asarray(seed, jnp.int32))
+
     scal = jnp.stack(
         [
             jnp.asarray(tau, x.dtype),
@@ -114,12 +119,12 @@ def myula_tv_fused_update(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(x, grad, jnp.asarray(seed, jnp.int32), scal)
+    )(x, grad, seed_tile, scal)
 
 
 def myula_imaging_fused(
@@ -134,20 +139,26 @@ def myula_imaging_fused(
     """MYULA with isotropic-TV prior, fused tail (TPU, image must fit VMEM).
 
     Drop-in alternative to ``myula_imaging(proxf, TVNorm(tv_sigma,
-    niter_tv), ...)`` with on-core noise; seeds derive from
-    ``(base_seed, state.step)`` so runs are reproducible.
+    niter_tv), ...)`` with on-core noise. The Pallas PRNG is seeded from the
+    runner's per-step/per-chain threefry key (its raw key data), so distinct
+    chains and distinct user keys get distinct noise streams; ``base_seed``
+    adds a stream offset.
     """
 
     def init(x0):
         return SamplerState.init(x0)
 
     def step(state, key):
-        del key  # noise comes from the Pallas PRNG, seeded by step index
         x = state.position
         g = proxf.grad(x)
+        kd = jax.lax.bitcast_convert_type(
+            jax.random.key_data(key), jnp.int32
+        ).ravel()
+        seed = jnp.stack(
+            [kd[0] + jnp.asarray(base_seed, jnp.int32), kd[-1]]
+        )
         x_new = myula_tv_fused_update(
-            x, g, jnp.stack([jnp.asarray(base_seed, jnp.int32),
-                             state.step.astype(jnp.int32)]),
+            x, g, seed,
             tau, gamma, tv_sigma * gamma, noise_scale, niter=niter_tv,
         )
         return state.next(x_new), StepInfo()

@@ -300,7 +300,13 @@ def csgld_importance_resample(
         return samples[:0]
     scaled = pdf[important] ** zeta
     scaled = scaled / scaled.max()
-    rng = np.random.default_rng(0 if key is None else int(key))
+    if key is None:
+        seed = 0
+    elif isinstance(key, (int, np.integer)):
+        seed = int(key)
+    else:  # a JAX PRNG key
+        seed = int(np.asarray(jax.random.key_data(key)).ravel()[-1])
+    rng = np.random.default_rng(seed)
     out = []
     for _ in range(rounds):
         for w, idx in zip(scaled, important):

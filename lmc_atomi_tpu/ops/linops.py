@@ -54,7 +54,16 @@ class LinOp:
         return cg_gram_solve(self, rho, y, niter=niter)
 
     def max_gram_eig(self, probe: Optional[jax.Array] = None, iters: int = 50):
-        """Power-method bound on ``lambda_max(A^T A)`` (used for step sizes)."""
+        """Power-method bound on ``lambda_max(A^T A)`` (used for step sizes).
+
+        The base method iterates from ``probe`` (required — the operator's
+        input shape is unknown here); operators with closed forms override.
+        """
+        if probe is None:
+            raise ValueError(
+                "max_gram_eig needs a probe array of the operator's input "
+                "shape for the power method"
+            )
         x = probe
 
         def body(_, x):

@@ -53,8 +53,10 @@ def run_resumable(
     if ckpt_path and os.path.exists(ckpt_path):
         bundle = restore_checkpoint(ckpt_path, bundle)
 
-    @jax.jit
-    def segment(bundle):
+    import functools
+
+    @functools.partial(jax.jit, static_argnames="n_steps")
+    def segment(bundle, n_steps):
         def body(carry, _):
             st, mom = carry
             k = step_key(bundle["key"], st.step)
@@ -67,17 +69,21 @@ def run_resumable(
             body,
             (bundle["state"], bundle["moments"]),
             None,
-            length=segment_steps,
+            length=n_steps,
         )
         return {
             "state": st,
             "moments": mom,
             "key": bundle["key"],
-            "done": bundle["done"] + segment_steps,
+            "done": bundle["done"] + n_steps,
         }
 
     while int(bundle["done"]) < total_steps:
-        bundle = segment(bundle)
+        # truncate the final segment so exactly total_steps run (the tail
+        # length compiles once more; results stay comparable across
+        # segment_steps choices)
+        n = min(segment_steps, total_steps - int(bundle["done"]))
+        bundle = segment(bundle, n)
         jax.block_until_ready(bundle["state"].position)
         # failure detection: a diverged chain is caught at the segment
         # boundary, before the checkpoint is overwritten, so the last good

@@ -156,6 +156,7 @@ def run_chains(
     n_chains: int,
     *,
     axis: int = 0,
+    batched: Optional[bool] = None,
     **kwargs,
 ) -> ChainResult:
     """vmap ``run_chain`` over ``n_chains`` independent chains.
@@ -164,14 +165,20 @@ def run_chains(
     pytree with leading chain axis. The per-chain base keys are folds of
     ``key`` — the multi-chain scaffolding the reference plumbed but never used
     (jax/lmc_jax.py:44-49, 267; SURVEY.md §2c P1).
+
+    ``batched`` disambiguates the corner case where a *single* position's
+    leading dimension equals ``n_chains`` (e.g. a 4-dim state with 4 chains):
+    pass ``batched=False`` to broadcast, ``batched=True`` to treat the
+    leading axis as chains; ``None`` infers from shapes.
     """
     key = as_key(key)
     keys = chain_keys(key, n_chains)
-    x0_leaves = jax.tree.leaves(x0)
-    batched = len(x0_leaves) > 0 and all(
-        hasattr(l, "shape") and l.ndim > 0 and l.shape[0] == n_chains
-        for l in x0_leaves
-    )
+    if batched is None:
+        x0_leaves = jax.tree.leaves(x0)
+        batched = len(x0_leaves) > 0 and all(
+            hasattr(l, "shape") and l.ndim > 0 and l.shape[0] == n_chains
+            for l in x0_leaves
+        )
     if not batched:
         x0 = jax.tree.map(
             lambda l: jnp.broadcast_to(l, (n_chains,) + jnp.shape(l)), x0

@@ -68,3 +68,65 @@ def test_run_chains_batched_initial_positions():
     drift = np.asarray(x0) * (1 - 0.1)
     assert np.abs(s - drift).max() < 2.0  # noise-bounded
     assert np.abs((s - drift)[0] - (s - drift)[1]).max() > 1e-3
+
+
+def test_p2_linear_fallback_moves_down():
+    """Regression: the P^2 linear fallback for downward moves must decrease
+    the marker (Jain & Chlamtac formula); track a 0.5 quantile through a
+    heavy-tailed stream and require sane ordering and accuracy."""
+    from lmc_atomi_tpu.core.stats import RunningQuantile
+
+    rng = np.random.default_rng(0)
+    xs = rng.standard_cauchy(4000)  # heavy tails exercise the fallback
+    q = RunningQuantile.init((), 0.5, jnp.float64)
+    push = jax.jit(lambda q, x: q.update(x))
+    for x in xs:
+        q = push(q, jnp.asarray(x))
+    med = float(q.value)
+    want = np.median(xs)
+    assert abs(med - want) < 0.25, (med, want)
+    # marker heights stay ordered
+    h = np.asarray(q.heights)
+    assert (np.diff(h) >= -1e-9).all(), h
+
+
+def test_run_resumable_exact_step_count(tmp_path):
+    from lmc_atomi_tpu.kernels import ula
+    from lmc_atomi_tpu.run.longrun import run_resumable
+
+    kern = ula(lambda x: x, 0.1)
+    bundle = run_resumable(kern, jnp.zeros(2), jax.random.PRNGKey(0),
+                           total_steps=1000, segment_steps=300)
+    assert int(bundle["done"]) == 1000
+    assert int(bundle["state"].step) == 1000
+
+
+def test_run_chains_explicit_batched_flag():
+    from lmc_atomi_tpu.kernels import ula
+    from lmc_atomi_tpu.run.runner import run_chains
+
+    kern = ula(lambda x: x, 0.1)
+    # 4-dim single position with 4 chains: the ambiguous case
+    x0 = jnp.arange(4.0)
+    res = run_chains(kern, x0, jax.random.PRNGKey(0), 3, n_chains=4,
+                     batched=False)
+    assert np.asarray(res.samples).shape == (4, 3, 4)
+
+
+def test_fused_myula_distinct_chain_noise():
+    import jax as _jax
+    import pytest
+
+    if _jax.default_backend() != "tpu":
+        pytest.skip("Pallas PRNG needs TPU")
+    from lmc_atomi_tpu.kernels import myula_imaging_fused
+    from lmc_atomi_tpu.ops.functionals import L2Data
+    from lmc_atomi_tpu.ops.linops import Identity
+    from lmc_atomi_tpu.run.runner import run_chains
+
+    l2 = L2Data(op=Identity(), b=jnp.zeros((32, 32), jnp.float32), sigma=0.0)
+    kern = myula_imaging_fused(l2, 1e-6, tau=0.5, gamma=1.0)
+    res = run_chains(kern, jnp.zeros((32, 32), jnp.float32),
+                     jax.random.PRNGKey(0), 1, n_chains=2)
+    s = np.asarray(res.samples)
+    assert np.abs(s[0] - s[1]).max() > 1e-3  # chains see different noise
