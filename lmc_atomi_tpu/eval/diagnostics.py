@@ -38,19 +38,20 @@ def autocorrelation(x, max_lag=None):
 def effective_sample_size(x):
     """Geyer initial-positive-sequence ESS for (steps,) or (steps, dims).
 
-    Sums consecutive-lag autocorrelation pairs while positive:
-    ESS = n / (1 + 2 sum rho_t) with the monotone truncation applied
-    pairwise; returns a scalar (1-D input) or (dims,) array.
+    Geyer pairs are Gamma_m = rho_{2m} + rho_{2m+1} (including rho_0 = 1);
+    these are guaranteed positive for reversible chains, so summation stops
+    at the first non-positive pair: tau = 2 sum Gamma_m - 1, ESS = n / tau.
+    Returns a scalar (1-D input) or (dims,) array.
     """
     squeeze = x.ndim == 1
     rho = autocorrelation(x)  # (n, d)
     n, d = rho.shape
-    n_pairs = (n - 1) // 2
-    pair_sums = rho[1 : 1 + 2 * n_pairs].reshape(n_pairs, 2, d).sum(axis=1)
+    n_pairs = n // 2
+    pair_sums = rho[: 2 * n_pairs].reshape(n_pairs, 2, d).sum(axis=1)
     positive = pair_sums > 0
-    # stop at the first non-positive pair (Geyer)
+    # stop at the first non-positive Gamma_m (Geyer initial positive seq.)
     keep = jnp.cumprod(positive.astype(jnp.float32), axis=0)
-    tau = 1.0 + 2.0 * jnp.sum(pair_sums * keep, axis=0)
+    tau = 2.0 * jnp.sum(pair_sums * keep, axis=0) - 1.0
     ess = n / jnp.maximum(tau, 1.0 / n)
     ess = jnp.clip(ess, 1.0, n)
     return ess[0] if squeeze else ess

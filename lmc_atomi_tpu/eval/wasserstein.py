@@ -38,6 +38,30 @@ def pairwise_sq_dists(x, y):
     return jnp.maximum(x2 + y2 - 2.0 * x @ y.T, 0.0)
 
 
+def _ot_entropic(a, b, log_wa, log_wb, eps_abs, iters):
+    """Log-domain Sinkhorn OT value at absolute regularization eps_abs."""
+    c = pairwise_sq_dists(a, b)
+    ceps = c / eps_abs
+
+    def body(_, fg):
+        f, g = fg
+        # f_i = -eps' log sum_j exp(log_wb_j + g_j - C_ij)  (scaled units)
+        f = -jax.scipy.special.logsumexp(
+            log_wb[None, :] + g[None, :] - ceps, axis=1
+        )
+        g = -jax.scipy.special.logsumexp(
+            log_wa[:, None] + f[:, None] - ceps, axis=0
+        )
+        return f, g
+
+    f0 = jnp.zeros((a.shape[0],), a.dtype)
+    g0 = jnp.zeros((b.shape[0],), b.dtype)
+    f, g = jax.lax.fori_loop(0, iters, body, (f0, g0))
+    # transport plan in log domain; masked rows carry -inf weight
+    log_p = log_wa[:, None] + log_wb[None, :] + f[:, None] + g[None, :] - ceps
+    return jnp.sum(jnp.exp(log_p) * c)
+
+
 def sinkhorn_w2(
     x,
     y,
@@ -46,14 +70,18 @@ def sinkhorn_w2(
     eps: float = 0.05,
     iters: int = 200,
     debias: bool = True,
+    scale=None,
+    ot_xx=None,
 ):
     """Entropic-regularized squared W2 (log-domain Sinkhorn), optionally
     Sinkhorn-divergence debiased: S(x,y) = OT(x,y) - (OT(x,x)+OT(y,y))/2.
 
     ``log_wx/log_wy`` are log-weights (default uniform); -inf entries mask
     points out, which is how prefix curves keep static shapes.
-    Returns squared distance (take sqrt for the reference's W2 plots,
-    lmc.py:407).
+    ``scale``/``ot_xx`` let callers hoist the loop-invariant cost scale and
+    OT(x,x) debias term out of prefix loops (they must correspond to the
+    same eps/weights). Returns squared distance (take sqrt for the
+    reference's W2 plots, lmc.py:407).
     """
     n, m = x.shape[0], y.shape[0]
     if log_wx is None:
@@ -63,37 +91,19 @@ def sinkhorn_w2(
 
     # one absolute regularization strength for all terms (debias-consistent):
     # eps is relative to the cross cost scale
-    scale = jnp.maximum(jnp.max(pairwise_sq_dists(x, y)), 1e-30)
+    if scale is None:
+        scale = jnp.maximum(jnp.max(pairwise_sq_dists(x, y)), 1e-30)
+    eps_abs = eps * scale
 
-    def ot_eps(a, b, log_wa, log_wb):
-        c = pairwise_sq_dists(a, b)
-        ceps = c / (eps * scale)
-
-        def body(_, fg):
-            f, g = fg
-            # f_i = -eps' log sum_j exp(log_wb_j + g_j - C_ij)  (scaled units)
-            f = -jax.scipy.special.logsumexp(
-                log_wb[None, :] + g[None, :] - ceps, axis=1
-            )
-            g = -jax.scipy.special.logsumexp(
-                log_wa[:, None] + f[:, None] - ceps, axis=0
-            )
-            return f, g
-
-        f0 = jnp.zeros((a.shape[0],), a.dtype)
-        g0 = jnp.zeros((b.shape[0],), b.dtype)
-        f, g = jax.lax.fori_loop(0, iters, body, (f0, g0))
-        # transport plan in log domain; masked rows carry -inf weight
-        log_p = (
-            log_wa[:, None] + log_wb[None, :] + f[:, None] + g[None, :] - ceps
-        )
-        return jnp.sum(jnp.exp(log_p) * c)
-
-    val = ot_eps(x, y, log_wx, log_wy)
+    val = _ot_entropic(x, y, log_wx, log_wy, eps_abs, iters)
     if debias:
-        val = val - 0.5 * (
-            ot_eps(x, x, log_wx, log_wx) + ot_eps(y, y, log_wy, log_wy)
+        xx = (
+            ot_xx
+            if ot_xx is not None
+            else _ot_entropic(x, x, log_wx, log_wx, eps_abs, iters)
         )
+        yy = _ot_entropic(y, y, log_wy, log_wy, eps_abs, iters)
+        val = val - 0.5 * (xx + yy)
     return jnp.maximum(val, 0.0)
 
 
@@ -187,12 +197,19 @@ def w2_prefix_curve(
     m = ss.shape[0]
     idx = jnp.arange(m)
 
+    # hoist the loop invariants: the cost scale and the OT(ts, ts) debias
+    # term are identical for every prefix
+    scale = jnp.maximum(jnp.max(pairwise_sq_dists(ts, ss)), 1e-30)
+    log_wt = jnp.full((ts.shape[0],), -jnp.log(ts.shape[0]), ts.dtype)
+    ot_tt = _ot_entropic(ts, ts, log_wt, log_wt, eps * scale, iters)
+
     def one(k):
         # prefix mask over strided samples: index*stride < k
         valid = (idx * stride) < k
         cnt = jnp.maximum(valid.sum(), 1)
         log_w = jnp.where(valid, -jnp.log(cnt.astype(ss.dtype)), -jnp.inf)
-        return sinkhorn_w2(ts, ss, None, log_w, eps=eps, iters=iters)
+        return sinkhorn_w2(ts, ss, None, log_w, eps=eps, iters=iters,
+                           scale=scale, ot_xx=ot_tt)
 
     vals = jax.lax.map(one, ks)
     return ks, jnp.sqrt(jnp.maximum(vals, 0.0))

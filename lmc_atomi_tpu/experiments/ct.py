@@ -41,7 +41,8 @@ def ct_tv_myula(
     from lmc_atomi_tpu.run.runner import run_chain
     from lmc_atomi_tpu.utils.images import phantom
 
-    dtype = jnp.float32 if jax.devices()[0].platform == "tpu" else jnp.float64
+    from lmc_atomi_tpu.utils import default_real_dtype
+    dtype = default_real_dtype()
     img = jnp.asarray(phantom(size), dtype) / 255.0
     op = Radon2D.create((size, size), n_angles=n_angles, dtype=dtype)
     key = jax.random.PRNGKey(seed)

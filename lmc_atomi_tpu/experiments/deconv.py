@@ -64,7 +64,8 @@ def prox_lmc_deconv(
     from lmc_atomi_tpu.run.runner import run_chain
     from lmc_atomi_tpu.utils.images import phantom
 
-    dtype = jnp.float32 if jax.devices()[0].platform == "tpu" else jnp.float64
+    from lmc_atomi_tpu.utils import default_real_dtype
+    dtype = default_real_dtype()
     img = jnp.asarray(phantom(size), dtype)
     key = jax.random.PRNGKey(seed)
 
@@ -139,14 +140,16 @@ def prox_lmc_deconv(
             metrics = make_metrics(proxf, proxg, pd=True)
             out = jax.jit(
                 lambda pf, pg, x: adaptive_pdhg(
-                    pf, pg, grad_op, x, tau0, mu0, niter_map, metrics=None
+                    pf, pg, grad_op, x, tau0, mu0, niter_map, metrics=metrics
                 )
             )(proxf, proxg, x0)
             jax.block_until_ready(out.x)
             est = out.x
-            met = None
-            if metrics is not None:
-                met = {k: np.asarray([float(f(est))]) for k, f in metrics.items()}
+            met = (
+                {k: np.asarray(v) for k, v in out.metrics.items()}
+                if out.metrics is not None
+                else None
+            )
         else:
             if alg == "ULPDA":
                 kern = ulpda(proxf, proxg, grad_op, tau=tau0, mu=mu0,

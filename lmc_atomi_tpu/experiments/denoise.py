@@ -38,7 +38,8 @@ def l1_denoise_myula(
     from lmc_atomi_tpu.run.runner import run_chain
     from lmc_atomi_tpu.utils.images import phantom
 
-    dtype = jnp.float32 if jax.devices()[0].platform == "tpu" else jnp.float64
+    from lmc_atomi_tpu.utils import default_real_dtype
+    dtype = default_real_dtype()
     img = jnp.asarray(phantom(size), dtype) / 255.0
     key = jax.random.PRNGKey(seed)
     y = img + sigma * jax.random.normal(key, img.shape, dtype)

@@ -47,7 +47,8 @@ def wavelet_inpainting(
     from lmc_atomi_tpu.run.runner import run_chain
     from lmc_atomi_tpu.utils.images import phantom
 
-    dtype = jnp.float32 if jax.devices()[0].platform == "tpu" else jnp.float64
+    from lmc_atomi_tpu.utils import default_real_dtype
+    dtype = default_real_dtype()
     img = jnp.asarray(phantom(size), dtype) / 255.0
     key = jax.random.PRNGKey(seed)
     km, kn, ks = jax.random.split(key, 3)

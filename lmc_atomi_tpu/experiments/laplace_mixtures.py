@@ -106,8 +106,11 @@ def lmc_laplacian_mixture(
         z_smooth = np.asarray(lm.smooth_density(jnp.asarray(pos)))
         stem = f"{outdir}/fig_laplace_n{n}_gamma{gamma_ula}_lambda{lamda}_{k}"
         F.density_surface(xg, yg, z, f"{stem}_1.pdf")
+        # histogram range must cover the target spread (Laplace scale
+        # 1/alpha; the [-5,5] default would clip most draws at alpha=0.1)
+        lim = max(5.0, 4.0 / alpha)
         F.sample_grid(xg, yg, z, samples, f"{stem}_3.pdf", mode="hist",
-                      extra_panels={"Smoothed density": z_smooth})
+                      extra_panels={"Smoothed density": z_smooth}, lim=lim)
         F.sample_grid(xg, yg, z, samples, f"{stem}_2.pdf", mode="kde",
                       extra_panels={"Smoothed density": z_smooth})
         if curves:

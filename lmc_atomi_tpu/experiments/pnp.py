@@ -79,12 +79,10 @@ def pnp_ula_deblur(
         # streaming estimate, so the statistics are those of all n_chains.
         block = min(chain_block, n_chains)
         pooled = None
-        run_block = jax.jit(
-            lambda k: run_chains(kern, y, k, n_steps, n_chains=block,
-                                 collect="stats", burn_in=burn_in)
-        )
         for b in range(0, n_chains, block):
-            res = run_block(jax.random.fold_in(ks, b))
+            nb = min(block, n_chains - b)  # exact final block size
+            res = run_chains(kern, y, jax.random.fold_in(ks, b), n_steps,
+                             n_chains=nb, collect="stats", burn_in=burn_in)
             jax.block_until_ready(res.moments.mean)
             part = merge_chain_moments(res.moments)
             pooled = part if pooled is None else pooled.merge(part)

@@ -84,21 +84,20 @@ def sgld_grid_mixture(
     samples, timings = {}, {}
     for i, (name, kern) in enumerate(kernels.items()):
         kkey = jax.random.fold_in(key, i)
+        contour = name.startswith("contour")
         t0 = time.perf_counter()
-        res = run_chain(kern, x0, kkey, k, collect="samples")
+        res = run_chain(kern, x0, kkey, k, collect="samples",
+                        collect_extras=contour)
         jax.block_until_ready(res.samples)
         timings[name] = time.perf_counter() - t0
         s = np.asarray(res.samples)
         if name.startswith("cyclical"):
             # keep only sampling-phase draws (reference jax/sgld.py:320-322)
             s = s[np.asarray(res.infos.accepted)]
-        elif name.startswith("contour"):
-            energies = np.asarray(res.infos.energy)
-            idx = np.clip(
-                np.ceil((energies - 0.0) / energy_gap).astype(int),
-                1,
-                num_partitions - 1,
-            )
+        elif contour:
+            # the kernel's own per-step energy bins (no re-derivation that
+            # could desynchronize from csgld's binning)
+            idx = np.asarray(res.extras.energy_idx)
             pdf = np.asarray(res.final_state.extras.energy_pdf)
             rs = S.csgld_importance_resample(s, idx, pdf, zeta=zeta)
             if rs.shape[0] > 100:

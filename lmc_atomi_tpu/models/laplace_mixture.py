@@ -105,16 +105,20 @@ class LaplaceMixture:
     # -- sampling --------------------------------------------------------------
 
     def sample(self, key, n_samples: int):
-        """Ancestral true samples (reference lmc_laplace.py:99-107): component
-        index, then multivariate Laplace draw with cov = (2/alpha_i) I via the
-        reference's SVD-coloring convention (multivariate_laplace.py:399-454;
-        for isotropic cov this is iid standard Laplace scaled by
-        sqrt(2/alpha))."""
+        """Ancestral true samples: component index, then iid Laplace draws
+        with scale 1/alpha_i — the distribution actually defined by
+        ``component_log_densities`` ((alpha/2)^d exp(-alpha ||.||_1) is a
+        product of Laplace(1/alpha) marginals).
+
+        NOTE: the reference draws through ``multivariate_laplace.rvs`` with
+        cov = (2/alpha) I (lmc_laplace.py:41,106), whose SVD coloring yields
+        scale sqrt(2/alpha) — inconsistent with its own density except at
+        alpha = 0.5, which skews its W2 ground truth. Not mirrored."""
         kc, kl = jax.random.split(key)
         n = self.mus.shape[0]
         idx = jax.random.categorical(
             kc, jnp.broadcast_to(self.log_weights, (n_samples, n))
         )
         z = jax.random.laplace(kl, (n_samples, self.dim), self.mus.dtype)
-        scale = jnp.sqrt(2.0 / self.alphas)[idx][:, None]
+        scale = (1.0 / self.alphas)[idx][:, None]
         return self.mus[idx] + scale * z

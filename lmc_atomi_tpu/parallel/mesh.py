@@ -70,12 +70,16 @@ def run_chains_sharded(
     n_chains: int,
     mesh: Optional[Mesh] = None,
     axis: str = "chains",
+    batched: Optional[bool] = None,
     **kwargs,
 ) -> ChainResult:
     """Shard ``n_chains`` independent chains across the mesh axis.
 
     Each device runs ``n_chains / axis_size`` chains with its own folded base
     keys; all ChainResult leaves come back with a global leading chain axis.
+    ``x0`` may be a single position (broadcast) or carry a leading chain
+    axis (per-chain starts); ``batched`` overrides the shape inference as in
+    ``run_chains``.
     """
     mesh = mesh if mesh is not None else chain_mesh()
     n_dev = mesh.shape[axis]
@@ -84,7 +88,13 @@ def run_chains_sharded(
 
     key = as_key(key)
     keys = chain_keys(key, n_chains)
-    x0b = jax.tree.map(
+    if batched is None:
+        x0_leaves = jax.tree.leaves(x0)
+        batched = len(x0_leaves) > 0 and all(
+            hasattr(l, "shape") and l.ndim > 0 and l.shape[0] == n_chains
+            for l in x0_leaves
+        )
+    x0b = x0 if batched else jax.tree.map(
         lambda l: jnp.broadcast_to(l, (n_chains,) + jnp.shape(l)), x0
     )
 

@@ -34,9 +34,9 @@ def _bool(v: str) -> bool:
 def auto_cli(fn: Callable, argv=None) -> Any:
     """Build an argparse CLI from ``fn``'s signature and invoke it."""
     sig = inspect.signature(fn)
+    doc_lines = (fn.__doc__ or "").strip().splitlines()
     parser = argparse.ArgumentParser(
-        prog=fn.__name__, description=(fn.__doc__ or "").strip().splitlines()[0]
-        if fn.__doc__ else None
+        prog=fn.__name__, description=doc_lines[0] if doc_lines else None
     )
     for name, p in sig.parameters.items():
         if p.kind in (p.VAR_POSITIONAL, p.VAR_KEYWORD):

@@ -70,8 +70,22 @@ def test_laplace_mixture_truth_sampler_moments():
     )
     s = np.asarray(lm.sample(jax.random.PRNGKey(6), 100_000))
     np.testing.assert_allclose(s.mean(0), [1.0, -1.0], atol=0.02)
-    # coloring convention: per-coordinate variance = 2 * (2/alpha)
-    np.testing.assert_allclose(s.var(0), 2 * (2 / 2.0), rtol=0.05)
+    # density-consistent: Laplace(scale=1/alpha) => var = 2/alpha^2
+    np.testing.assert_allclose(s.var(0), 2 / 2.0**2, rtol=0.05)
+
+
+def test_laplace_mixture_sampler_matches_density():
+    """The ancestral sampler and the density must describe the same law:
+    compare empirical CDF at a point against the analytic Laplace CDF."""
+    alpha = 0.1
+    lm = LaplaceMixture.create(
+        np.array([[0.0, 0.0]]), np.array([alpha]), np.ones(1), 0.1
+    )
+    s = np.asarray(lm.sample(jax.random.PRNGKey(7), 200_000))[:, 0]
+    for t in (5.0, 15.0, 30.0):
+        want = 1 - 0.5 * np.exp(-alpha * t)  # Laplace(1/alpha) CDF
+        got = (s <= t).mean()
+        assert abs(got - want) < 0.01, (t, got, want)
 
 
 def test_myula_imaging_denoising_posterior_mean():
