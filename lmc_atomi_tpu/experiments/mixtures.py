@@ -105,6 +105,12 @@ def lmc_gaussian_mixture(
         if curves:
             F.w2_curves(curves, f"{stem}_wass_dist.pdf")
 
+    from lmc_atomi_tpu.eval.diagnostics import effective_sample_size
+
+    ess = {
+        m: float(np.asarray(effective_sample_size(jnp.asarray(s))).min())
+        for m, s in samples.items()
+    }
     summary = {
         "workload": "gaussian_mixture_lmc",
         "n": n,
@@ -112,6 +118,7 @@ def lmc_gaussian_mixture(
         "iters_per_sec": {m: round(k * max(1, n_chains) / t, 1)
                           for m, t in timings.items()},
         "final_w2": {m: float(v[1][-1]) for m, v in curves.items()},
+        "min_ess": ess,
     }
     print(json.dumps(summary))
     return samples, curves, summary
