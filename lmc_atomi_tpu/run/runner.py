@@ -8,6 +8,7 @@ algs.py:432-467) and its sample-hoarding memory pattern
     workloads;
   * ``collect="stats"`` — streaming Welford moments (+ optional P^2
     quantiles) of the position in HBM, the 512^2 imaging workloads;
+  * ``collect="both"`` — thinned samples AND streaming stats in one pass;
   * ``collect="last"`` — final state only.
 
 ``metrics`` is a dict of jittable ``fn(position) -> scalar/array`` evaluated
@@ -91,8 +92,10 @@ def run_chain(
 
     key = as_key(key)
     state0 = kernel.init(x0, *init_args)
-    want_samples = collect == "samples"
-    want_stats = collect == "stats"
+    if collect not in ("samples", "stats", "both", "last"):
+        raise ValueError(f"unknown collect mode {collect!r}")
+    want_samples = collect in ("samples", "both")
+    want_stats = collect in ("stats", "both")
 
     moments0 = RunningMoments.init(state0.position) if want_stats else None
     quants0 = (

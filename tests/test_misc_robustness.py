@@ -130,3 +130,22 @@ def test_fused_myula_distinct_chain_noise():
                      jax.random.PRNGKey(0), 1, n_chains=2)
     s = np.asarray(res.samples)
     assert np.abs(s[0] - s[1]).max() > 1e-3  # chains see different noise
+
+
+def test_collect_both_mode():
+    from lmc_atomi_tpu.kernels import ula
+    from lmc_atomi_tpu.run.runner import run_chain
+
+    kern = ula(lambda x: x, 0.1)
+    res = run_chain(kern, jnp.zeros(3), jax.random.PRNGKey(0), 100,
+                    collect="both", burn_in=20)
+    assert res.samples.shape == (100, 3)
+    s = np.asarray(res.samples)[20:]
+    np.testing.assert_allclose(np.asarray(res.moments.mean), s.mean(0),
+                               atol=1e-10)
+    assert int(res.moments.count) == 80
+
+    import pytest
+    with pytest.raises(ValueError, match="unknown collect"):
+        run_chain(kern, jnp.zeros(3), jax.random.PRNGKey(0), 10,
+                  collect="bogus")
