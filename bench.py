@@ -94,6 +94,10 @@ def device_iters_per_sec():
     import jax.numpy as jnp
 
     from lmc_atomi_tpu.kernels import myula_imaging
+    from lmc_atomi_tpu.kernels.myula_fused import (
+        run_myula_tv_fused,
+        sep_fused_supported,
+    )
     from lmc_atomi_tpu.ops.functionals import L2Data, TVNorm
     from lmc_atomi_tpu.ops.linops import CirculantBlur2D, uniform_kernel
     from lmc_atomi_tpu.run.runner import run_chain
@@ -115,15 +119,31 @@ def device_iters_per_sec():
     gamma = SIGMA_NOISE**2
     tau = 0.2 * gamma
     l2 = L2Data.create(op=blur, b=y, sigma=1.0 / SIGMA_NOISE**2)
-    tv = TVNorm(sigma=TV_WEIGHT, niter=TV_ITERS)
-    kern = myula_imaging(l2, tv, tau=tau, gamma=gamma)
 
     x0 = jnp.zeros((N, N), dtype)
 
-    run = jax.jit(
-        lambda x, k, n: run_chain(kern, x, k, n, collect="stats"),
-        static_argnums=2,
+    # Production TPU path: fully fused Pallas block kernel (separable-gram
+    # gradient + Chambolle TV + update + on-core noise + Welford, multiple
+    # steps per launch). BENCH_PATH=unfused forces the XLA/threefry path.
+    fused = (
+        os.environ.get("BENCH_PATH", "fused") == "fused"
+        and sep_fused_supported(blur, (N, N), dtype)
     )
+    if fused:
+        run = jax.jit(
+            lambda x, k, n: run_myula_tv_fused(
+                l2, TV_WEIGHT, tau, gamma, x, k, n,
+                niter_tv=TV_ITERS, block=250,
+            ),
+            static_argnums=2,
+        )
+    else:
+        tv = TVNorm(sigma=TV_WEIGHT, niter=TV_ITERS)
+        kern = myula_imaging(l2, tv, tau=tau, gamma=gamma)
+        run = jax.jit(
+            lambda x, k, n: run_chain(kern, x, k, n, collect="stats"),
+            static_argnums=2,
+        )
     # compile + warmup at the SAME static step count (a different count is a
     # different program and the timed call would include recompilation)
     warm = run(x0, jax.random.PRNGKey(1), STEPS)
@@ -138,9 +158,49 @@ def device_iters_per_sec():
     blur_psnr = float(psnr(img, y))
     print(
         f"[bench] device={jax.devices()[0].platform} n={N} steps={STEPS} "
-        f"time={dt:.2f}s psnr_blurred={blur_psnr:.2f} psnr_mean={post_psnr:.2f}",
+        f"path={'fused' if fused else 'unfused'} time={dt:.2f}s "
+        f"psnr_blurred={blur_psnr:.2f} psnr_mean={post_psnr:.2f}",
         file=sys.stderr,
     )
+
+    # Aggregate throughput: vmapped parallel chains (the chip is mostly idle
+    # on a single latency-bound chain). Reported to stderr; the headline JSON
+    # metric stays the single-chain north star.
+    if os.environ.get("BENCH_AGGREGATE", "1") == "1":
+        n_chains = int(os.environ.get("BENCH_CHAINS", "4"))
+        agg_steps = max(STEPS // 2, 250)
+        from lmc_atomi_tpu.core.random import chain_keys
+
+        def many(x, keys, n):
+            if fused:
+                return jax.vmap(
+                    lambda xi, ki: run_myula_tv_fused(
+                        l2, TV_WEIGHT, tau, gamma, xi, ki, n,
+                        niter_tv=TV_ITERS, block=250,
+                    ).moments.mean
+                )(x, keys)
+            return jax.vmap(
+                lambda xi, ki: run_chain(
+                    kern, xi, ki, n, collect="stats"
+                ).moments.mean
+            )(x, keys)
+
+        many_j = jax.jit(many, static_argnums=2)
+        xs = jnp.zeros((n_chains, N, N), dtype)
+        keys = chain_keys(jax.random.PRNGKey(2), n_chains)
+        warm = many_j(xs, keys, agg_steps)
+        jax.block_until_ready(warm)
+        t0 = time.perf_counter()
+        outm = many_j(xs, keys, agg_steps)
+        jax.block_until_ready(outm)
+        dt_a = time.perf_counter() - t0
+        print(
+            f"[bench] aggregate: {n_chains} chains x {agg_steps} steps -> "
+            f"{n_chains * agg_steps / dt_a:.0f} iters/s total "
+            f"({agg_steps / dt_a:.0f} per chain)",
+            file=sys.stderr,
+        )
+
     return STEPS / dt, (np.asarray(y), np.asarray(h))
 
 

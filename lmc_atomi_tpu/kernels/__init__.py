@@ -1,6 +1,11 @@
 from lmc_atomi_tpu.kernels.base import Kernel, stepsize_at
 from lmc_atomi_tpu.kernels.imaging import myula_imaging, pnp_ula, ulpda
 from lmc_atomi_tpu.kernels.myula_pallas import myula_imaging_fused
+from lmc_atomi_tpu.kernels.myula_fused import (
+    myula_imaging_sep_fused,
+    run_myula_tv_fused,
+    sep_fused_supported,
+)
 from lmc_atomi_tpu.kernels.langevin import ihpula, mala, mla, pula, sqrtm_psd, ula
 from lmc_atomi_tpu.kernels.proximal import fbula, lbmumla, mymala, myula, pgld, ppula
 from lmc_atomi_tpu.kernels.sgmcmc import (

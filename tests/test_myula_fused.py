@@ -1,0 +1,174 @@
+"""Fully fused MYULA block kernel: separable-gram factorization, interpret-
+mode parity with the unfused spectral path, in-kernel Welford equivalence,
+and (TPU-only) on-core noise statistics + PSNR parity."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lmc_atomi_tpu.kernels import myula_imaging
+from lmc_atomi_tpu.kernels.myula_fused import (
+    myula_imaging_sep_fused,
+    run_myula_tv_fused,
+    separable_gram_taps,
+)
+from lmc_atomi_tpu.ops.functionals import L2Data, TVNorm
+from lmc_atomi_tpu.ops.linops import (
+    CirculantBlur2D,
+    gaussian_kernel,
+    uniform_kernel,
+)
+from lmc_atomi_tpu.utils.images import phantom
+
+ON_TPU = jax.default_backend() == "tpu"
+
+
+def _problem(n=64, ksize=5, kind="uniform", seed=0):
+    img = jnp.asarray(phantom(n), jnp.float32)
+    h = (
+        uniform_kernel(ksize, jnp.float32)
+        if kind == "uniform"
+        else gaussian_kernel(ksize, 1.0, jnp.float32)
+    )
+    blur = CirculantBlur2D.from_kernel((n, n), h)
+    y = jax.jit(
+        lambda im, k: blur.matvec(im)
+        + 0.75 * jax.random.normal(k, (n, n), jnp.float32)
+    )(img, jax.random.PRNGKey(seed))
+    l2 = L2Data.create(op=blur, b=y, sigma=1 / 0.75**2)
+    gamma = 0.75**2
+    tau = 0.2 * gamma
+    return img, blur, y, l2, tau, gamma
+
+
+class TestSeparableTaps:
+    def test_uniform_rank1(self):
+        blur = CirculantBlur2D.from_kernel((32, 32), uniform_kernel(5))
+        taps = separable_gram_taps(blur.hh)
+        assert len(taps) == 1
+        rec = sum(np.outer(wy, wx) for wy, wx in taps)
+        np.testing.assert_allclose(rec, np.asarray(blur.hh), atol=1e-7)
+
+    def test_gaussian_rank1(self):
+        blur = CirculantBlur2D.from_kernel((32, 32), gaussian_kernel(7, 1.3))
+        taps = separable_gram_taps(blur.hh)
+        assert len(taps) == 1
+        rec = sum(np.outer(wy, wx) for wy, wx in taps)
+        np.testing.assert_allclose(rec, np.asarray(blur.hh), atol=1e-7)
+
+    def test_nonseparable_full_rank_reconstructs(self):
+        rng = np.random.default_rng(0)
+        h = jnp.asarray(rng.uniform(0.1, 1.0, (3, 3)).astype(np.float32))
+        blur = CirculantBlur2D.from_kernel((16, 16), h / h.sum())
+        taps = separable_gram_taps(blur.hh)
+        assert len(taps) >= 2  # generic kernels are not rank-1
+        rec = sum(np.outer(wy, wx) for wy, wx in taps)
+        np.testing.assert_allclose(rec, np.asarray(blur.hh), atol=1e-6)
+
+
+class TestDeterministicParity:
+    """noise off, interpret mode: the fused step must match the unfused
+    spectral-gradient + XLA-Chambolle step to f32 tolerance."""
+
+    @pytest.mark.parametrize("kind", ["uniform", "gaussian"])
+    def test_single_step(self, kind):
+        img, blur, y, l2, tau, gamma = _problem(kind=kind)
+        tv = TVNorm(sigma=0.3, niter=10)
+        x0 = jnp.asarray(
+            np.random.default_rng(1).normal(size=img.shape).astype(np.float32)
+        )
+        want = (
+            (1 - tau / gamma) * x0
+            - tau * l2.grad(x0)
+            + (tau / gamma) * tv.prox(x0, gamma)
+        )
+        kern = myula_imaging_sep_fused(
+            l2, 0.3, tau, gamma, noise_scale=0.0, interpret=not ON_TPU
+        )
+        st, _ = kern.step(kern.init(x0), jax.random.PRNGKey(2))
+        scale = float(jnp.abs(want).max())
+        np.testing.assert_allclose(
+            np.asarray(st.position), np.asarray(want),
+            atol=3e-5 * max(scale, 1.0),
+        )
+
+    def test_block_driver_matches_stepwise_and_welford(self):
+        img, blur, y, l2, tau, gamma = _problem()
+        tv = TVNorm(sigma=0.3, niter=10)
+        x0 = jnp.zeros_like(img)
+        res = run_myula_tv_fused(
+            l2, 0.3, tau, gamma, x0, jax.random.PRNGKey(3), 9,
+            block=4, noise_scale=0.0, burn_in=2, interpret=not ON_TPU,
+        )
+        xs = x0
+        means = []
+        for i in range(9):
+            xs = (
+                (1 - tau / gamma) * xs
+                - tau * l2.grad(xs)
+                + (tau / gamma) * tv.prox(xs, gamma)
+            )
+            if i >= 2:
+                means.append(np.asarray(xs))
+        np.testing.assert_allclose(
+            np.asarray(res.final_state.position), np.asarray(xs), atol=3e-3
+        )
+        assert int(res.moments.count) == 7
+        m = np.mean(means, axis=0)
+        v = np.var(means, axis=0, ddof=1)
+        np.testing.assert_allclose(
+            np.asarray(res.moments.mean), m, atol=2e-3 * max(1, abs(m).max())
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.moments.variance), v,
+            atol=1e-2 * max(1.0, v.max()),
+        )
+
+
+@pytest.mark.skipif(not ON_TPU, reason="on-core PRNG needs a real TPU")
+class TestFusedNoiseTPU:
+    def test_noise_statistics(self):
+        """x=0, atbs=0, tv off: output = sqrt(2 tau) xi — KS vs N(0,1)."""
+        from scipy import stats
+
+        from lmc_atomi_tpu.kernels.myula_fused import myula_tv_block_update
+
+        n, tau = 256, 0.5
+        zeros = jnp.zeros((n, n), jnp.float32)
+        scal_f = jnp.asarray([tau, 1.0, 0.3, 1.0, 1.0], jnp.float32)
+        scal_i = jnp.zeros((3,), jnp.int32)
+        out, _, _ = myula_tv_block_update(
+            zeros, zeros, zeros, zeros, jnp.asarray([11, 5], jnp.int32),
+            scal_f, scal_i, taps=(((1.0,), (1.0,)),), oy=0, ox=0,
+            n_steps=1, niter_tv=0, with_noise=True, with_stats=True,
+        )
+        xi = np.asarray(out).ravel() / np.sqrt(2 * tau)
+        assert abs(xi.mean()) < 0.02
+        assert abs(xi.std() - 1.0) < 0.02
+        # KS test on a subsample (full 65536 points over-powers KS)
+        ks = stats.kstest(xi[::7][:8192], "norm")
+        assert ks.pvalue > 1e-3, f"KS p={ks.pvalue}"
+
+    def test_psnr_parity_with_threefry_path(self):
+        """Posterior-mean PSNR of the fused path within 0.1 dB of the
+        unfused threefry path (different-but-equivalent noise streams)."""
+        from lmc_atomi_tpu.eval.metrics import psnr
+        from lmc_atomi_tpu.run.runner import run_chain
+
+        img, blur, y, l2, tau, gamma = _problem(n=256)
+        steps = 10000  # enough samples that stream-to-stream MC error < gate
+        x0 = jnp.zeros_like(img)
+        res_f = jax.jit(
+            lambda x, k: run_myula_tv_fused(
+                l2, 0.3, tau, gamma, x, k, steps, block=250
+            )
+        )(x0, jax.random.PRNGKey(1))
+        kern = myula_imaging(
+            l2, TVNorm(sigma=0.3, niter=10), tau=tau, gamma=gamma
+        )
+        res_u = jax.jit(
+            lambda x, k: run_chain(kern, x, k, steps, collect="stats")
+        )(x0, jax.random.PRNGKey(1))
+        p_f = float(psnr(img, res_f.moments.mean))
+        p_u = float(psnr(img, res_u.moments.mean))
+        assert abs(p_f - p_u) < 0.1, (p_f, p_u)

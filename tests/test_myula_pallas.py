@@ -38,7 +38,7 @@ def test_noise_statistics():
     out = myula_tv_fused_update(
         jnp.zeros((64, 64), jnp.float32), jnp.zeros((64, 64), jnp.float32),
         jnp.asarray([7, 3], jnp.int32), tau, 1.0, 0.1, noise_scale=1.0,
-        niter=2, interpret=True,
+        niter=2,
     )
     xi = np.asarray(out) / np.sqrt(2 * tau)
     assert abs(xi.mean()) < 0.05
@@ -47,6 +47,6 @@ def test_noise_statistics():
     out2 = myula_tv_fused_update(
         jnp.zeros((64, 64), jnp.float32), jnp.zeros((64, 64), jnp.float32),
         jnp.asarray([7, 4], jnp.int32), tau, 1.0, 0.1, noise_scale=1.0,
-        niter=2, interpret=True,
+        niter=2,
     )
     assert np.abs(np.asarray(out) - np.asarray(out2)).max() > 0.1
