@@ -97,9 +97,16 @@ def emd2(
 
 
 def exact_w2(x: np.ndarray, y: np.ndarray) -> float:
-    """Exact squared W2 between uniform empirical measures (any sizes)."""
+    """Exact squared W2 between uniform empirical measures (any sizes).
+
+    1-D inputs of shape (n,) are treated as n samples in d=1 (matching the
+    POT ``ot.dist`` convention this replaces)."""
     x = np.asarray(x, np.float64)
     y = np.asarray(y, np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    if y.ndim == 1:
+        y = y[:, None]
     c = ((x[:, None, :] - y[None, :, :]) ** 2).sum(-1)
     a = np.full(x.shape[0], 1.0 / x.shape[0])
     b = np.full(y.shape[0], 1.0 / y.shape[0])

@@ -86,8 +86,13 @@ def sgld_grid_mixture(
         kkey = jax.random.fold_in(key, i)
         contour = name.startswith("contour")
         t0 = time.perf_counter()
+        # Contour kernels: project the stacked extras to the scalar energy
+        # bin — stacking the full (num_partitions,) energy histogram per
+        # step would be a (k, num_partitions) array (~20 GB at the driver
+        # defaults); the learned pdf is read from final_state only.
         res = run_chain(kern, x0, kkey, k, collect="samples",
-                        collect_extras=contour)
+                        collect_extras=(lambda e: e.energy_idx)
+                        if contour else False)
         jax.block_until_ready(res.samples)
         timings[name] = time.perf_counter() - t0
         s = np.asarray(res.samples)
@@ -97,7 +102,7 @@ def sgld_grid_mixture(
         elif contour:
             # the kernel's own per-step energy bins (no re-derivation that
             # could desynchronize from csgld's binning)
-            idx = np.asarray(res.extras.energy_idx)
+            idx = np.asarray(res.extras)  # projected scalar energy bins
             pdf = np.asarray(res.final_state.extras.energy_pdf)
             rs = S.csgld_importance_resample(s, idx, pdf, zeta=zeta)
             if rs.shape[0] > 100:

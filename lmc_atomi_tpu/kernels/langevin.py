@@ -132,23 +132,39 @@ def ihpula(
     lmc_laplace.py:186), M = (H + (|lambda_min| + shift) I)^{-1}, else
     M = H^{-1}. Small-d only: dense eigh per step inside scan (SURVEY.md §7
     hard parts).
+
+    Numerics: ONE symmetric eigendecomposition provides shift, inverse, and
+    inverse square root together (the naive eigvalsh + inv + sqrtm-eigh chain
+    amplified f32 rounding enough to diverge the gamma=0.1, n=2 chain on
+    TPU), the small matvecs run at ``Precision.HIGHEST`` (TPU matmuls default
+    to bf16 passes), and the whole linear-algebra block upcasts to f64 on
+    demand when x64 is enabled (CPU), matching the reference's f64 NumPy.
     """
 
     def init(x0):
         return SamplerState.init(x0)
 
+    hi = jax.lax.Precision.HIGHEST
+
     def step(state, key):
         g = stepsize_at(gamma, state.step)
         xi = normal_like(key, state.position)
-        h = hess_fn(state.position)
-        d = h.shape[-1]
+        x = state.position
+        # f64-on-demand: canonicalize gives f64 under x64 (CPU), f32 on TPU
+        dt = jax.dtypes.canonicalize_dtype(jnp.float64)
+        h = hess_fn(x).astype(dt)
+        w, v = jnp.linalg.eigh(h)
         if regularize:
-            w = jnp.linalg.eigvalsh(h)
-            h = h + (jnp.abs(w.min()) + shift) * jnp.eye(d, dtype=h.dtype)
-        m = jnp.linalg.inv(h)
-        drift = state.position - g * (m @ grad_fn(state.position))
-        x = drift + jnp.sqrt(2 * g) * (sqrtm_psd(m) @ xi)
-        return state.next(x), StepInfo()
+            w = w + (jnp.abs(w.min()) + shift)
+        # M = V diag(1/w) V^T and sqrtm(M) = V diag(1/sqrt(w)) V^T from the
+        # same factorization; applied as matvecs.
+        vt_grad = jnp.dot(v.T, grad_fn(x).astype(dt), precision=hi)
+        vt_xi = jnp.dot(v.T, xi.astype(dt), precision=hi)
+        drift = x.astype(dt) - g * jnp.dot(v, vt_grad / w, precision=hi)
+        noise = jnp.sqrt(2 * g) * jnp.dot(
+            v, vt_xi / jnp.sqrt(w), precision=hi
+        )
+        return state.next((drift + noise).astype(x.dtype)), StepInfo()
 
     return Kernel(init, step)
 

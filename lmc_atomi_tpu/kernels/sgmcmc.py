@@ -269,9 +269,11 @@ def csgld(
             x_new = prox_fn(x_new)
 
         onehot = jax.nn.one_hot(j, num_partitions, dtype=pdf.dtype)
+        # Deng et al. stochastic-approximation update; it preserves total
+        # mass exactly (sum of the increment is zero when sum(pdf)=1), so no
+        # renormalization — only a floor clamp guarding log_pdf above.
         pdf_new = pdf + omega * (pdf[j] ** zeta) * (onehot - pdf)
         pdf_new = jnp.maximum(pdf_new, 1e-30)
-        pdf_new = pdf_new / pdf_new.sum()
 
         return (
             state.next(x_new, extras=CSGLDExtras(energy_pdf=pdf_new, energy_idx=j)),

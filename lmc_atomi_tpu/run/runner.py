@@ -77,7 +77,7 @@ def run_chain(
     quantile_ps: tuple = (),
     burn_in: int = 0,
     init_args: tuple = (),
-    collect_extras: bool = False,
+    collect_extras: Any = False,  # bool, or a projection fn extras -> pytree
     unroll: int = 1,
 ) -> ChainResult:
     """Run one chain for ``n_steps`` kernel steps (jit-compiled caller side).
@@ -118,8 +118,15 @@ def run_chain(
             out["position"] = state.position
         if collect_extras:
             # e.g. ULPDA dual-variable samples (the reference's returny,
-            # algs.py:429-451)
-            out["extras"] = state.extras
+            # algs.py:429-451). A callable projects the extras pytree before
+            # stacking — essential when extras hold large state (CSGLD's
+            # (num_partitions,) energy histogram would stack to an
+            # (n_emit, num_partitions) array otherwise).
+            out["extras"] = (
+                collect_extras(state.extras)
+                if callable(collect_extras)
+                else state.extras
+            )
         if metrics:
             out["metrics"] = {name: fn(state.position) for name, fn in metrics.items()}
         if want_stats:

@@ -81,3 +81,18 @@ def test_moderate_size_performance():
     dt = time.perf_counter() - t0
     assert np.isfinite(val)
     assert dt < 30.0, f"too slow: {dt:.1f}s"
+
+
+def test_exact_w2_1d_inputs():
+    """(n,) arrays are n samples in d=1 (ADVICE r1: used to IndexError)."""
+    from lmc_atomi_tpu.eval.emd_native import exact_w2
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=50)
+    y = rng.normal(size=60) + 1.0
+    v = exact_w2(x, y)
+    v2 = exact_w2(x[:, None], y[:, None])
+    assert np.isclose(v, v2)
+    # 1-d exact W2^2 has a closed form via sorted quantile coupling for
+    # equal sizes; sanity-check the order of magnitude instead
+    assert 0.0 < v < 10.0

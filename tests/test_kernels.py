@@ -171,6 +171,33 @@ def test_ihpula_golden():
     np.testing.assert_allclose(got, np.asarray(want), rtol=1e-6, atol=1e-8)
 
 
+def test_ihpula_no_divergence_gamma01_n2():
+    """Regression for the RESULTS.md r1 nan cell: gamma=0.1, n=2, the
+    experiment driver's exact key path (seed 0, x0 fold 999, kernel fold 3).
+    The old eigvalsh+inv+sqrtm chain diverged at step ~3036 on TPU f32; the
+    single-eigh HIGHEST-precision restructure is stable in f32 on both
+    backends."""
+    import jax
+
+    from lmc_atomi_tpu.experiments.configs import gaussian_mixture_config
+    from lmc_atomi_tpu.models import GaussianMixture
+
+    mus, sigmas, omegas = gaussian_mixture_config(2)
+    gm = GaussianMixture.create(
+        np.asarray(mus, np.float32),
+        np.asarray(sigmas, np.float32),
+        np.asarray(omegas, np.float32),
+    )
+    kern = langevin.ihpula(gm.grad_potential, gm.hess_potential, 0.1)
+    key = jax.random.PRNGKey(0)
+    x0 = jax.random.normal(
+        jax.random.fold_in(key, 999), (2,), jnp.float32
+    )
+    res = run_chain(kern, x0, jax.random.fold_in(key, 3), 10000,
+                    collect="samples")
+    assert bool(jnp.isfinite(res.samples).all())
+
+
 def test_mla_golden():
     gm = make_gm()
     beta = np.array([0.7, 0.3])

@@ -103,6 +103,80 @@ def test_image_sharded_myula_step_matches_single_device():
     )
 
 
+class TestShardedSpectralOperator:
+    """The flagship CirculantBlur2D rfft path under row sharding must equal
+    the single-device result exactly (reference N2 analogue:
+    prox_lmc_deconv.py:58-69). Rows-only on CPU (fft_thunk layout bug)."""
+
+    def _setup(self, n=64, dtype=jnp.float64):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from lmc_atomi_tpu.ops.linops import CirculantBlur2D, uniform_kernel
+        from lmc_atomi_tpu.utils.images import phantom
+
+        op = CirculantBlur2D.from_kernel((n, n), uniform_kernel(5, dtype))
+        x = jnp.asarray(phantom(n, np.float64), dtype)
+        mesh = image_mesh(chains=1, rows=8, cols=1)
+        sharding = NamedSharding(mesh, P("row", None))
+        return op, x, sharding
+
+    def test_matvec_rmatvec_sharded(self):
+        op, x, sharding = self._setup()
+        want_a = op.matvec(x)
+        want_at = op.rmatvec(x)
+        got_a = jax.jit(op.matvec, in_shardings=sharding,
+                        out_shardings=sharding)(jax.device_put(x, sharding))
+        got_at = jax.jit(op.rmatvec, in_shardings=sharding,
+                         out_shardings=sharding)(jax.device_put(x, sharding))
+        np.testing.assert_allclose(np.asarray(got_a), np.asarray(want_a),
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(got_at), np.asarray(want_at),
+                                   atol=1e-12)
+
+    def test_normal_grad_and_gram_solve_sharded(self):
+        op, x, sharding = self._setup()
+        b = op.matvec(x) + 0.1
+        want_g = op.normal_grad(x, b)
+        want_s = op.gram_solve(0.7, x)
+        xs = jax.device_put(x, sharding)
+        bs = jax.device_put(b, sharding)
+        got_g = jax.jit(op.normal_grad, in_shardings=(sharding, sharding),
+                        out_shardings=sharding)(xs, bs)
+        got_s = jax.jit(lambda v: op.gram_solve(0.7, v),
+                        in_shardings=sharding, out_shardings=sharding)(xs)
+        np.testing.assert_allclose(np.asarray(got_g), np.asarray(want_g),
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
+                                   atol=1e-12)
+
+    def test_myula_chain_row_sharded_8way(self):
+        """Full MYULA scan with the spectral operator sharded over all 8
+        virtual devices equals the single-device chain bit-for-bit."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from lmc_atomi_tpu.ops.functionals import L2Data, TVNorm
+
+        op, img, _ = self._setup()
+        y = op.matvec(img)
+        l2 = L2Data(op=op, b=y, sigma=1.0)
+        kern = myula_imaging(l2, TVNorm(sigma=0.3, niter=5), tau=0.1,
+                             gamma=0.5)
+        key = jax.random.PRNGKey(7)
+        x0 = jnp.zeros_like(img)
+        ref = run_chain(kern, x0, key, 10, collect="samples")
+
+        mesh = image_mesh(chains=1, rows=8, cols=1)
+        sharding = NamedSharding(mesh, P("row", None))
+        run = jax.jit(
+            lambda x: run_chain(kern, x, key, 10, collect="samples"),
+            in_shardings=sharding,
+        )
+        out = run(jax.device_put(x0, sharding))
+        np.testing.assert_allclose(
+            np.asarray(out.samples), np.asarray(ref.samples), atol=1e-10
+        )
+
+
 def test_checkpoint_roundtrip_and_resume():
     import os
     import tempfile

@@ -99,3 +99,32 @@ def test_l1_denoise_workload(tmp_path):
         make_plots=False,
     )
     assert report["psnr_posterior_mean"] > report["psnr_noisy"]
+
+
+def test_collect_extras_projection():
+    """collect_extras may be a projection fn (ADVICE r1: stacking CSGLD's
+    full energy histogram per step OOMs at driver scale)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lmc_atomi_tpu.kernels import sgmcmc as S
+    from lmc_atomi_tpu.models import GridGaussianMixture
+    from lmc_atomi_tpu.run.runner import run_chain
+
+    gm = GridGaussianMixture.create([-4.0, 0.0, 4.0], sigma=0.03, lam=1 / 9.0)
+    kern = S.csgld(
+        gm.log_prob, num_partitions=16, energy_gap=1.0, min_energy=0.0,
+        zeta=0.75, temperature=1.0, lr_schedule=1e-3,
+    )
+    res = run_chain(
+        kern, jnp.zeros(2), jax.random.PRNGKey(0), 20, collect="samples",
+        collect_extras=lambda e: e.energy_idx,
+    )
+    assert np.asarray(res.extras).shape == (20,)  # scalars, not histograms
+    full = run_chain(
+        kern, jnp.zeros(2), jax.random.PRNGKey(0), 20, collect="samples",
+        collect_extras=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res.extras), np.asarray(full.extras.energy_idx)
+    )
