@@ -150,12 +150,14 @@ def w2_prefix_curve_exact(
     true_samples,
     samples,
     interval: int = 100,
-    max_points: int = 2000,
+    max_points: int = 10000,
 ):
     """The reference's exact-EMD W2-vs-samples curve (lmc.py:396-414):
     network-simplex EMD (native/emd.cpp) between ``true_samples`` and each
-    prefix, on host. Subsamples to ``max_points`` like the Sinkhorn curve.
-    Returns (ks, w2) with w2 the root of the squared distance."""
+    prefix, on host. ``max_points`` defaults to the reference's 10k-sample
+    setting (lmc.py:403-406) — the round-2 network-simplex rewrite solves
+    10k x 10k in under a minute. Returns (ks, w2) with w2 the root of the
+    squared distance."""
     from lmc_atomi_tpu.eval import emd_native
 
     true_np = np.asarray(true_samples)

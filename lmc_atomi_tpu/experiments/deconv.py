@@ -62,11 +62,11 @@ def prox_lmc_deconv(
     from lmc_atomi_tpu.ops.ncvx_tv import L2NcvxTV
     from lmc_atomi_tpu.run.optimize import adaptive_pdhg
     from lmc_atomi_tpu.run.runner import run_chain
-    from lmc_atomi_tpu.utils.images import phantom
+    from lmc_atomi_tpu.utils.images import load_image
 
     from lmc_atomi_tpu.utils import default_real_dtype
     dtype = default_real_dtype()
-    img = jnp.asarray(phantom(size), dtype)
+    img = jnp.asarray(load_image(image, size), dtype)
     key = jax.random.PRNGKey(seed)
 
     blurs = {

@@ -63,33 +63,46 @@ def main():
         "| model | MAP (aPDHG, 1000 it) | ULPDA mean (1000) | MYULA mean (1000) |",
         "|---|---|---|---|",
     ]
-    cols = {}
-    for branch, kw in [
-        ("MAP", dict(compute_map=True, niter_map=1000)),
-        ("ULPDA", dict(alg="ULPDA", n_steps=1000)),
-        ("MYULA", dict(alg="MYULA", n_steps=1000)),
-    ]:
-        _, _, summ = prox_lmc_deconv(
-            size=512, make_plots=False, collect_metrics=False, **kw
-        )
-        cols[branch] = {k: v["psnr"] for k, v in summ["report"].items()}
-        blurred = summ["psnr_blurred"]
-        print(f"deconv {branch} done", file=sys.stderr)
-    for model in cols["MAP"]:
-        lines.append(
-            f"| {model} | {cols['MAP'][model]:.2f} | "
-            f"{cols['ULPDA'][model]:.2f} | {cols['MYULA'][model]:.2f} |"
-        )
-    lines += ["", f"Blurred observation: {blurred:.2f} dB.", ""]
+    for image in ("phantom", "einstein"):
+        if image == "einstein":
+            lines += [
+                "",
+                "### Natural image (einstein, 512x512 center crop)",
+                "",
+                "| model | MAP (aPDHG, 1000 it) | ULPDA mean (1000) | MYULA mean (1000) |",
+                "|---|---|---|---|",
+            ]
+        cols = {}
+        for branch, kw in [
+            ("MAP", dict(compute_map=True, niter_map=1000)),
+            ("ULPDA", dict(alg="ULPDA", n_steps=1000)),
+            ("MYULA", dict(alg="MYULA", n_steps=1000)),
+        ]:
+            _, _, summ = prox_lmc_deconv(
+                size=512, image=image, make_plots=False,
+                collect_metrics=False, **kw
+            )
+            cols[branch] = {k: v["psnr"] for k, v in summ["report"].items()}
+            blurred = summ["psnr_blurred"]
+            print(f"deconv {image} {branch} done", file=sys.stderr)
+        for model in cols["MAP"]:
+            lines.append(
+                f"| {model} | {cols['MAP'][model]:.2f} | "
+                f"{cols['ULPDA'][model]:.2f} | {cols['MYULA'][model]:.2f} |"
+            )
+        lines += ["", f"Blurred observation (k5): {blurred:.2f} dB.", ""]
 
     # --- throughput summary ---------------------------------------------------
     lines += [
         "## Throughput (this device)",
         "",
         "See `bench.py` (driver-run) for the canonical number: MYULA at",
-        "512x512 TV-deblur with streaming posterior moments. Recent",
-        "measurements on one v5e chip: ~6200 iters/s, ~600x the CPU",
-        "reference loop; 1e5 iterations in ~32 s wall.",
+        "512x512 TV-deblur with streaming posterior moments, via the fully",
+        "fused Pallas block kernel (kernels/myula_fused.py). Round-2",
+        "measurements on one v5e chip: ~14.9k iters/s single chain",
+        "(~1530x the CPU reference loop); aggregate 4 vmapped chains",
+        "~17.6k iters/s; the round-1 unfused spectral path measures ~6.1k",
+        "(BENCH_PATH=unfused).",
         "",
     ]
 

@@ -96,3 +96,29 @@ def test_exact_w2_1d_inputs():
     # 1-d exact W2^2 has a closed form via sorted quantile coupling for
     # equal sizes; sanity-check the order of magnitude instead
     assert 0.0 < v < 10.0
+
+
+def test_scale_3k_matches_sinkhorn():
+    """Round-2 network-simplex rewrite: thousands of points in seconds
+    (round-1 capped at ~2k); cross-check vs on-device Sinkhorn on
+    well-separated distributions where the entropic bias is negligible."""
+    import time
+
+    import jax.numpy as jnp
+
+    from lmc_atomi_tpu.eval.emd_native import exact_w2
+    from lmc_atomi_tpu.eval.wasserstein import sinkhorn_w2
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(3000, 2))
+    y = rng.normal(size=(3000, 2)) + np.asarray([1.5, -0.5])
+    t0 = time.time()
+    ve = exact_w2(x, y)
+    dt = time.time() - t0
+    assert dt < 60.0, f"3k exact EMD took {dt:.0f}s"
+    assert abs(ve - 2.5) < 0.25  # true shift + finite-sample bias
+    # Sinkhorn cross-check at a size where the CPU Sinkhorn is quick
+    xs, ys = x[:1200], y[:1200]
+    vs = float(sinkhorn_w2(jnp.asarray(xs), jnp.asarray(ys)))
+    ve_s = exact_w2(xs, ys)
+    assert abs(vs - ve_s) / ve_s < 0.02

@@ -1,0 +1,109 @@
+"""Pure-NumPy PNG reader: exact decode of crafted streams per filter type,
+plus the bundled natural test image (reference prox_lmc_deconv.py:44-46)."""
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from lmc_atomi_tpu.utils.images import einstein, load_image
+from lmc_atomi_tpu.utils.png import read_png, read_png_gray
+
+
+def _encode_png(img: np.ndarray, filter_type: int) -> bytes:
+    """Test-side PNG encoder applying ``filter_type`` to every scanline."""
+    img = np.asarray(img, np.uint8)
+    if img.ndim == 2:
+        img = img[..., None]
+    h, w, c = img.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    flat = img.reshape(h, w * c).astype(np.int32)
+    bpp = c
+    lines = []
+    prev = np.zeros(w * c, np.int32)
+    for y in range(h):
+        cur = flat[y]
+        if filter_type == 0:
+            out = cur
+        elif filter_type == 1:  # Sub
+            left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+            out = (cur - left) & 0xFF
+        elif filter_type == 2:  # Up
+            out = (cur - prev) & 0xFF
+        elif filter_type == 3:  # Average
+            left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+            out = (cur - ((left + prev) >> 1)) & 0xFF
+        elif filter_type == 4:  # Paeth
+            left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+            ul = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+            )
+            out = (cur - pred) & 0xFF
+        lines.append(bytes([filter_type]) + bytes(out.astype(np.uint8)))
+        prev = cur
+
+    def chunk(typ, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + typ
+            + payload
+            + struct.pack(">I", zlib.crc32(typ + payload))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("channels", [1, 3])
+def test_exact_decode_all_filters(tmp_path, filter_type, channels):
+    rng = np.random.default_rng(filter_type * 10 + channels)
+    shape = (23, 31) if channels == 1 else (23, 31, channels)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    p = tmp_path / "t.png"
+    p.write_bytes(_encode_png(img, filter_type))
+    got = read_png(str(p))
+    np.testing.assert_array_equal(got, img)
+
+
+def test_rgba_to_gray(tmp_path):
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (8, 9, 4), dtype=np.uint8)
+    p = tmp_path / "t.png"
+    p.write_bytes(_encode_png(img, 2))
+    g = read_png_gray(str(p))
+    want = img[..., :3].astype(np.float32) @ np.asarray(
+        [0.299, 0.587, 0.114], np.float32
+    )
+    np.testing.assert_allclose(g, want, atol=1e-4)
+
+
+def test_einstein_loads_and_crops():
+    img = einstein(512)
+    assert img.shape == (512, 512)
+    assert img.dtype == np.float32
+    assert 0.0 <= img.min() and img.max() <= 255.0
+    assert img.std() > 20.0  # a real photograph, not a constant
+    # deterministic
+    np.testing.assert_array_equal(img, einstein(512))
+    small = load_image("einstein", 64)
+    assert small.shape == (64, 64)
+
+
+def test_einstein_matches_known_statistics():
+    """Full-frame stats of the bundled PNG (cross-checked at decode time
+    against the reference's skimage-loaded values)."""
+    full = einstein(512)
+    # center crop of the 667x877 source; golden values from this decoder,
+    # guarded so a decoder regression cannot silently corrupt benchmarks
+    assert abs(float(full.mean()) - 123.31) < 1.0
+    assert abs(float(full.std()) - 48.54) < 1.0
