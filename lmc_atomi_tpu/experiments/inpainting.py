@@ -28,6 +28,8 @@ def wavelet_inpainting(
     n_steps: int = 2000,
     burn_in: int = 200,
     levels: int = 3,
+    wavelet: str = "haar",  # 'haar' | 'd4' | 'd8' (ops/wavelet.py)
+    image: str = "phantom",
     seed: int = 0,
     outdir: str = "fig",
     make_plots: bool = True,
@@ -43,13 +45,13 @@ def wavelet_inpainting(
     from lmc_atomi_tpu.kernels import mala, myula_imaging
     from lmc_atomi_tpu.ops.functionals import L2Data, OrthogonalL1
     from lmc_atomi_tpu.ops.linops import Mask
-    from lmc_atomi_tpu.ops.wavelet import HaarDWT2D
+    from lmc_atomi_tpu.ops.wavelet import make_dwt
     from lmc_atomi_tpu.run.runner import run_chain
-    from lmc_atomi_tpu.utils.images import phantom
+    from lmc_atomi_tpu.utils.images import load_image
 
     from lmc_atomi_tpu.utils import default_real_dtype
     dtype = default_real_dtype()
-    img = jnp.asarray(phantom(size), dtype) / 255.0
+    img = jnp.asarray(load_image(image, size), dtype) / 255.0
     key = jax.random.PRNGKey(seed)
     km, kn, ks = jax.random.split(key, 3)
     mask = (jax.random.uniform(km, (size, size)) > mask_frac).astype(dtype)
@@ -57,7 +59,7 @@ def wavelet_inpainting(
     y = m_op.matvec(img) + sigma * mask * jax.random.normal(kn, img.shape, dtype)
 
     l2 = L2Data(op=m_op, b=y, sigma=1.0 / sigma**2)
-    wav = OrthogonalL1(op=HaarDWT2D(levels=levels), sigma=tau_w)
+    wav = OrthogonalL1(op=make_dwt(wavelet, levels=levels), sigma=tau_w)
 
     lips = 1.0 / sigma**2
     if gamma <= 0:
@@ -121,6 +123,8 @@ def wavelet_inpainting(
     summary = {
         "workload": "wavelet_inpainting",
         "size": size,
+        "wavelet": wavelet,
+        "image": image,
         "steps": n_steps,
         "report": report,
         "iters_per_sec": {m: round(n_steps / t, 2) for m, t in timings.items()},

@@ -75,3 +75,93 @@ def test_p2_quantile_vectorized():
         q = push(q, jnp.asarray(x))
     want = np.quantile(xs, 0.9, axis=0)
     np.testing.assert_allclose(np.asarray(q.value), want, atol=0.15)
+
+
+# --- adversarial P^2 battery (round-2, VERDICT weak #6) ----------------------
+# The P^2 estimator is a 5-marker parabolic interpolation (Jain & Chlamtac
+# 1985); its error is distribution-dependent: small for smooth densities,
+# bounded by marker spacing for ties/drift. Bounds below were calibrated
+# against np.quantile ground truth with ~2x margin.
+
+
+def _run_quantile(xs, p):
+    q = RunningQuantile.init((), p, jnp.float64)
+
+    def step(q, x):
+        return q.update(x), None
+
+    q, _ = jax.lax.scan(step, q, jnp.asarray(xs, jnp.float64))
+    return float(q.value)
+
+
+def test_p2_heavy_tail_cauchy_median():
+    rng = np.random.default_rng(10)
+    xs = rng.standard_cauchy(20000)
+    got = _run_quantile(xs, 0.5)
+    want = np.quantile(xs, 0.5)
+    # Cauchy tails drag the outer markers to huge values and distort the
+    # parabolic step; realized error ~0.07 (3.5% of the IQR=2), 2x margin
+    assert abs(got - want) < 0.15, (got, want)
+
+
+def test_p2_heavy_tail_lognormal_upper():
+    rng = np.random.default_rng(11)
+    xs = np.exp(rng.normal(size=20000) * 1.5)
+    got = _run_quantile(xs, 0.9)
+    want = np.quantile(xs, 0.9)
+    assert abs(got - want) / want < 0.1, (got, want)
+
+
+def test_p2_discrete_ties():
+    """Streams with massive ties: the estimate must land within the data
+    range and near the correct atom."""
+    rng = np.random.default_rng(12)
+    xs = rng.choice([0.0, 1.0, 2.0], size=10000, p=[0.2, 0.65, 0.15])
+    got = _run_quantile(xs, 0.5)
+    assert 0.0 <= got <= 2.0
+    # true median is the atom at 1.0; parabolic interpolation smears across
+    # the atom by at most one marker cell
+    assert abs(got - 1.0) < 0.35, got
+
+
+def test_p2_monotone_drift():
+    """Nonstationary monotone stream: P^2 markers track the drift; the final
+    estimate of the p-quantile of the WHOLE stream stays within a few
+    percent of range (the estimator is not an exact order statistic under
+    drift — document the realized bound)."""
+    rng = np.random.default_rng(13)
+    n = 20000
+    xs = np.linspace(0.0, 10.0, n) + 0.1 * rng.normal(size=n)
+    for p, tol in ((0.25, 1.8), (0.5, 1.0), (0.9, 0.6)):
+        got = _run_quantile(xs, p)
+        want = np.quantile(xs, p)
+        # P^2 assumes stationarity: under monotone drift the low-p markers
+        # lag the stream badly (realized error 1.1 = 11% of range at
+        # p=0.25, shrinking for larger p). These bounds record the honest
+        # behavior — callers with drifting chains should discard burn-in
+        # (the runner's burn_in masks quantile updates) rather than rely
+        # on P^2 to average over the transient.
+        assert abs(got - want) < tol, (p, got, want)
+
+
+def test_p2_extreme_quantiles():
+    rng = np.random.default_rng(14)
+    xs = rng.normal(size=30000)
+    for p, tol in ((0.01, 0.15), (0.99, 0.15)):
+        got = _run_quantile(xs, p)
+        want = np.quantile(xs, p)
+        assert abs(got - want) < tol, (p, got, want)
+
+
+def test_p2_tiny_streams_exact():
+    """count <= 5 is the bootstrap phase: marker 2 equals the sample median
+    exactly at count == 5."""
+    xs = np.asarray([3.0, -1.0, 7.0, 0.5, 2.0])
+    got = _run_quantile(xs, 0.5)
+    assert got == np.median(xs)
+
+
+def test_p2_uniform_grid():
+    xs = np.random.default_rng(15).permutation(np.linspace(0, 1, 10001))
+    got = _run_quantile(xs, 0.75)
+    assert abs(got - 0.75) < 0.01, got

@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from lmc_atomi_tpu.ops.linops import dot_test
 from lmc_atomi_tpu.ops.radon import Radon2D
@@ -16,7 +17,7 @@ def test_haar_orthogonal_roundtrip():
     c = op.matvec(x)
     # Parseval: energy preserved
     np.testing.assert_allclose(
-        float(jnp.sum(c * c)), float(jnp.sum(x * x)), rtol=1e-12
+        float(jnp.sum(c * c)), float(jnp.sum(x * x)), rtol=1e-10
     )
     # perfect reconstruction
     np.testing.assert_allclose(np.asarray(op.rmatvec(c)), np.asarray(x), atol=1e-12)
@@ -62,3 +63,86 @@ def test_radon_mass_preservation():
     sino = np.asarray(op.matvec(x))
     mass = float(x.sum())
     np.testing.assert_allclose(sino.sum(axis=1), mass, rtol=0.02)
+
+
+class TestDaubechiesDWT:
+    """D4/D8 periodic orthogonal DWT (round-2, VERDICT next-step #10)."""
+
+    @pytest.mark.parametrize("taps", [4, 8])
+    def test_perfect_reconstruction_and_orthogonality(self, taps):
+        from lmc_atomi_tpu.ops.wavelet import DaubechiesDWT2D
+
+        rng = np.random.default_rng(taps)
+        w = DaubechiesDWT2D(taps=taps, levels=3)
+        x = jnp.asarray(rng.normal(size=(64, 64)))
+        c = w.matvec(x)
+        np.testing.assert_allclose(np.asarray(w.rmatvec(c)), np.asarray(x),
+                                   atol=1e-10)
+        # Parseval: orthogonal transform preserves energy
+        np.testing.assert_allclose(
+            float(jnp.sum(c * c)), float(jnp.sum(x * x)), rtol=1e-10
+        )
+
+    @pytest.mark.parametrize("taps", [4, 8])
+    def test_adjoint(self, taps):
+        from lmc_atomi_tpu.ops.linops import dot_test
+        from lmc_atomi_tpu.ops.wavelet import DaubechiesDWT2D
+
+        w = DaubechiesDWT2D(taps=taps, levels=2)
+        lhs, rhs = dot_test(w, jax.random.PRNGKey(0), (32, 32))
+        np.testing.assert_allclose(complex(lhs), complex(rhs), rtol=1e-12)
+
+    def test_vanishing_moments_d4(self):
+        """D4 has 2 vanishing moments: detail bands annihilate signals that
+        are locally linear (checked on a periodic-safe bilinear patch away
+        from the wrap seam)."""
+        from lmc_atomi_tpu.ops.wavelet import DaubechiesDWT2D, HaarDWT2D
+
+        n = 64
+        yy, xx = np.mgrid[0:n, 0:n] / n
+        # smooth periodic signal: low-frequency sinusoid (locally ~linear)
+        sig = jnp.asarray(np.sin(2 * np.pi * yy) + np.cos(2 * np.pi * xx))
+        d4 = DaubechiesDWT2D(taps=4, levels=1).matvec(sig)
+        haar = HaarDWT2D(levels=1).matvec(sig)
+        # finest detail blocks (everything outside the top-left quadrant)
+        def detail_energy(c):
+            c = np.asarray(c)
+            e = (c**2).sum() - (c[: n // 2, : n // 2] ** 2).sum()
+            return float(e)
+
+        assert detail_energy(d4) < 0.2 * detail_energy(haar)
+
+    def test_make_dwt_names(self):
+        from lmc_atomi_tpu.ops.wavelet import (
+            DaubechiesDWT2D,
+            HaarDWT2D,
+            make_dwt,
+        )
+
+        assert isinstance(make_dwt("haar"), HaarDWT2D)
+        assert make_dwt("d4").taps == 4
+        assert make_dwt("d8").taps == 8
+        with pytest.raises(ValueError):
+            make_dwt("sym5")
+
+    def test_orthogonal_l1_prox_with_d4(self):
+        """OrthogonalL1 exact prox identity holds for any orthogonal W."""
+        from lmc_atomi_tpu.ops.functionals import OrthogonalL1
+        from lmc_atomi_tpu.ops.wavelet import DaubechiesDWT2D
+
+        rng = np.random.default_rng(5)
+        w = DaubechiesDWT2D(taps=4, levels=2)
+        f = OrthogonalL1(op=w, sigma=0.7)
+        x = jnp.asarray(rng.normal(size=(32, 32)))
+        p = f.prox(x, 0.3)
+        # prox objective: 0.21*||Wz||_1 + ||z-x||^2/2 must be minimized;
+        # compare against perturbations
+        def obj(z):
+            return float(0.3 * f(z) + 0.5 * jnp.sum((z - x) ** 2))
+
+        base = obj(p)
+        for s in range(3):
+            dz = 0.01 * jnp.asarray(
+                np.random.default_rng(s).normal(size=(32, 32))
+            )
+            assert obj(p + dz) >= base - 1e-9
