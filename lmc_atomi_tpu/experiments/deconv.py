@@ -156,7 +156,25 @@ def prox_lmc_deconv(
                              theta=1.0, gfirst=False)
                 metrics = make_metrics(proxf, proxg, pd=True)
             else:  # MYULA samples with the TV prox regularizer
-                kern = myula_imaging(proxf, tv, tau=tau_myula, gamma=gamma_myula)
+                # TPU production path: the fully fused Pallas step (same
+                # math and metrics plumbing; PSNR parity gated in
+                # tests/test_myula_fused.py). prefer_stencil ops and the
+                # nonconvex priors keep the XLA kernel.
+                from lmc_atomi_tpu.kernels import (
+                    myula_imaging_sep_fused,
+                    sep_fused_supported,
+                )
+
+                if name.endswith("-TV") and sep_fused_supported(
+                    getattr(proxf, "op", None), x0.shape, x0.dtype
+                ):
+                    kern = myula_imaging_sep_fused(
+                        proxf, tv.sigma, tau_myula, gamma_myula,
+                        niter_tv=tv.niter,
+                    )
+                else:
+                    kern = myula_imaging(proxf, tv, tau=tau_myula,
+                                         gamma=gamma_myula)
                 metrics = make_metrics(proxf, tv, pd=False)
             res = run_chain(
                 kern, x0, jax.random.fold_in(key, idx), n_steps,

@@ -111,3 +111,16 @@ def test_cli_entrypoint():
     assert out.returncode == 0, out.stderr[-2000:]
     summary = json.loads(out.stdout.strip().splitlines()[-1])
     assert summary["workload"] == "gaussian_mixture_lmc"
+
+
+def test_ct_workload_all_branches(tmp_path):
+    """CT: TV-MYULA sampling + TV-MAP (aPDHG) + learned PnP prior, tiny."""
+    from lmc_atomi_tpu.experiments.ct import ct_tv_myula
+
+    mean, std, report = ct_tv_myula(
+        size=32, n_angles=12, n_steps=40, burn_in=10, niter_map=15,
+        pnp_train_steps=5, make_plots=False,
+    )
+    assert mean.shape == (32, 32)
+    for k in ("psnr_posterior_mean", "psnr_map_tv", "psnr_pnp_mean"):
+        assert np.isfinite(report[k]), k

@@ -56,6 +56,7 @@ def test_ct_workload_small(tmp_path):
 
     mean, std, report = ct_tv_myula(
         size=32, n_angles=16, n_steps=800, burn_in=100,
+        compute_map=False, pnp=False,  # branches covered in test_experiments
         outdir=str(tmp_path), make_plots=False,
     )
     assert mean.shape == (32, 32) and np.isfinite(mean).all()
