@@ -110,6 +110,15 @@ def run_chains_sharded(
         out_specs=P(axis),
         check_vma=False,
     )
+    if len(mesh.devices.ravel()) > len(jax.local_devices()):
+        # Multi-process mesh (DCN tier): jit cannot consume process-local
+        # jax Arrays of global shape — hand it host numpy (identical on
+        # every process by construction: same base key) and raw key data
+        # (run_chain's as_key re-wraps uint32 rows).
+        import numpy as _np
+
+        keys = _np.asarray(jax.random.key_data(keys))
+        x0b = jax.tree.map(lambda l: _np.asarray(jax.device_get(l)), x0b)
     return jax.jit(shard_fn)(x0b, keys)
 
 
@@ -117,7 +126,16 @@ def merge_chain_moments(moments):
     """Merge per-chain RunningMoments (leading chain axis) into pooled
     moments — the cross-device posterior-statistic reduction. Gathers the
     (small) per-chain summaries to host first so indexing is shard-free."""
-    moments = jax.tree.map(lambda l: jnp.asarray(jax.device_get(l)), moments)
+    def fetch(l):
+        # Multi-process (DCN tier): shards live on other hosts — allgather
+        # the (small) per-chain summaries; device_get only sees local shards.
+        if isinstance(l, jax.Array) and not l.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            return jnp.asarray(multihost_utils.process_allgather(l, tiled=True))
+        return jnp.asarray(jax.device_get(l))
+
+    moments = jax.tree.map(fetch, moments)
     n = jax.tree.leaves(moments.count)[0].shape[0]
     pooled = jax.tree.map(lambda l: l[0], moments)
     for i in range(1, n):
