@@ -1,4 +1,5 @@
-# One 64-chain PnP block; saves partial Welford moments to OUT.npz.
+# One 64-chain PnP block in 4 segmented device calls (the tunnel kills
+# single executions around ~60s); saves partial Welford moments to OUT.npz.
 import sys
 import jax, jax.numpy as jnp
 import numpy as np
@@ -12,10 +13,11 @@ from lmc_atomi_tpu.run.runner import run_chains
 from lmc_atomi_tpu.utils.images import phantom
 
 b, out = int(sys.argv[1]), sys.argv[2]
-size, sigma, dsig, alpha, nb, n_steps, burn = 256, 0.03, 0.05, 1.0, 64, 2000, 200
+size, sigma, dsig, alpha, nb = 256, 0.03, 0.05, 1.0, 64
+seg_steps, n_segs, burn = 500, 4, 200
 model = DnCNN(depth=8, features=48)
 tmpl = model.init(jax.random.PRNGKey(0), jnp.zeros((1, size, size)))
-params = restore_checkpoint("/tmp/pnp_params.msgpack", tmpl)
+params = jax.tree.map(jnp.asarray, restore_checkpoint("/tmp/pnp_params.msgpack", tmpl))
 den = make_denoiser(params, model.apply)
 img = jnp.asarray(phantom(size), jnp.float32)/255.
 key = jax.random.PRNGKey(0)
@@ -26,10 +28,19 @@ l2 = L2Data.create(op=blur, b=y, sigma=1/sigma**2)
 eps = dsig**2
 lips = 1/sigma**2 + alpha/eps
 kern = pnp_ula(l2.grad, den, tau=0.5/lips, eps=eps, alpha=alpha, box=(-1.,2.))
-# same key discipline as experiments/pnp.py: per-block fold of ks by start chain idx
-part = jax.jit(lambda k: merge_chain_moments(
-    run_chains(kern, y, k, n_steps, n_chains=nb, collect="stats", burn_in=burn).moments
-))(jax.random.fold_in(ks, b * nb))
-jax.block_until_ready(part.mean)
-np.savez(out, count=np.asarray(part.count), mean=np.asarray(part.mean), m2=np.asarray(part.m2))
+bkey = jax.random.fold_in(ks, b * nb)
+
+seg = jax.jit(lambda x, k, bi: run_chains(
+    kern, x, k, seg_steps, n_chains=nb, collect="stats", burn_in=bi,
+    batched=x.ndim == 3), static_argnums=2)
+x = jnp.broadcast_to(y, (nb,) + y.shape)
+pooled = None
+for s in range(n_segs):
+    res = seg(x, jax.random.fold_in(bkey, s), burn if s == 0 else 0)
+    jax.block_until_ready(res.moments.mean)
+    x = res.final_state.position
+    part = merge_chain_moments(res.moments)
+    pooled = part if pooled is None else pooled.merge(part)
+np.savez(out, count=np.asarray(pooled.count), mean=np.asarray(pooled.mean),
+         m2=np.asarray(pooled.m2))
 print(f"block {b} ok")

@@ -61,7 +61,7 @@ def prox_lmc_deconv(
     from lmc_atomi_tpu.ops.linops import CirculantBlur2D, Gradient2D, uniform_kernel
     from lmc_atomi_tpu.ops.ncvx_tv import L2NcvxTV
     from lmc_atomi_tpu.run.optimize import adaptive_pdhg
-    from lmc_atomi_tpu.run.runner import run_chain
+    from lmc_atomi_tpu.run.runner import run_chain_jit
     from lmc_atomi_tpu.utils.images import load_image
 
     from lmc_atomi_tpu.utils import default_real_dtype
@@ -176,7 +176,7 @@ def prox_lmc_deconv(
                     kern = myula_imaging(proxf, tv, tau=tau_myula,
                                          gamma=gamma_myula)
                 metrics = make_metrics(proxf, tv, pd=False)
-            res = run_chain(
+            res = run_chain_jit(
                 kern, x0, jax.random.fold_in(key, idx), n_steps,
                 collect="stats", metrics=metrics,
             )

@@ -35,7 +35,7 @@ def l1_denoise_myula(
     from lmc_atomi_tpu.ops.functionals import L2Data
     from lmc_atomi_tpu.ops.linops import Identity
     from lmc_atomi_tpu.ops.prox import prox_laplace
-    from lmc_atomi_tpu.run.runner import run_chain
+    from lmc_atomi_tpu.run.runner import run_chain_jit
     from lmc_atomi_tpu.utils.images import phantom
 
     from lmc_atomi_tpu.utils import default_real_dtype
@@ -64,7 +64,7 @@ def l1_denoise_myula(
     kern = myula_imaging(l2, prior, tau=0.2 * gamma, gamma=gamma)
 
     t0 = time.perf_counter()
-    res = run_chain(kern, y, jax.random.fold_in(key, 1), n_steps,
+    res = run_chain_jit(kern, y, jax.random.fold_in(key, 1), n_steps,
                     collect="stats", burn_in=burn_in)
     jax.block_until_ready(res.moments.mean)
     dt = time.perf_counter() - t0

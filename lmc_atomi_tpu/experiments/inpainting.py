@@ -46,7 +46,7 @@ def wavelet_inpainting(
     from lmc_atomi_tpu.ops.functionals import L2Data, OrthogonalL1
     from lmc_atomi_tpu.ops.linops import Mask
     from lmc_atomi_tpu.ops.wavelet import make_dwt
-    from lmc_atomi_tpu.run.runner import run_chain
+    from lmc_atomi_tpu.run.runner import run_chain_jit
     from lmc_atomi_tpu.utils.images import load_image
 
     from lmc_atomi_tpu.utils import default_real_dtype
@@ -94,7 +94,7 @@ def wavelet_inpainting(
         [("MYULA", kern_myula), ("MALA", kern_mala)]
     ):
         t0 = time.perf_counter()
-        res = run_chain(
+        res = run_chain_jit(
             kern, x0, jax.random.fold_in(ks, i), n_steps,
             collect="stats", burn_in=burn_in,
         )

@@ -45,7 +45,7 @@ def lmc_laplacian_mixture(
     from lmc_atomi_tpu.experiments.configs import laplace_mixture_config
     from lmc_atomi_tpu.kernels import ihpula, mala, mla, pula, ula
     from lmc_atomi_tpu.models import LaplaceMixture
-    from lmc_atomi_tpu.run.runner import run_chain, run_chains
+    from lmc_atomi_tpu.run.runner import run_chain_jit, run_chains_jit
 
     mus, alphas, omegas = laplace_mixture_config(n, alpha)
     lm = LaplaceMixture.create(mus, alphas, omegas, lamda)
@@ -71,11 +71,11 @@ def lmc_laplacian_mixture(
         kkey = jax.random.fold_in(key, i)
         t0 = time.perf_counter()
         if n_chains > 1:
-            res = run_chains(kern, x0, kkey, k, n_chains=n_chains,
+            res = run_chains_jit(kern, x0, kkey, k, n_chains=n_chains,
                              collect="samples")
             s = np.asarray(res.samples).reshape(-1, 2)
         else:
-            res = run_chain(kern, x0, kkey, k, collect="samples")
+            res = run_chain_jit(kern, x0, kkey, k, collect="samples")
             s = np.asarray(res.samples)
         jax.block_until_ready(res.samples)
         timings[name] = time.perf_counter() - t0

@@ -41,7 +41,7 @@ def lmc_gaussian_mixture(
     from lmc_atomi_tpu.experiments.configs import gaussian_mixture_config
     from lmc_atomi_tpu.kernels import ihpula, mala, mla, pula, ula
     from lmc_atomi_tpu.models import GaussianMixture
-    from lmc_atomi_tpu.run.runner import run_chain, run_chains
+    from lmc_atomi_tpu.run.runner import run_chain_jit, run_chains_jit
 
     mus, sigmas, omegas = gaussian_mixture_config(n)
     gm = GaussianMixture.create(mus, sigmas, omegas)
@@ -64,11 +64,11 @@ def lmc_gaussian_mixture(
         kkey = jax.random.fold_in(key, i)
         t0 = time.perf_counter()
         if n_chains > 1:
-            res = run_chains(kern, x0, kkey, k, n_chains=n_chains,
-                             collect="samples")
+            res = run_chains_jit(kern, x0, kkey, k, n_chains=n_chains,
+                                 collect="samples")
             s = np.asarray(res.samples).reshape(-1, 2)
         else:
-            res = run_chain(kern, x0, kkey, k, collect="samples")
+            res = run_chain_jit(kern, x0, kkey, k, collect="samples")
             s = np.asarray(res.samples)
         jax.block_until_ready(res.samples)
         timings[name] = time.perf_counter() - t0

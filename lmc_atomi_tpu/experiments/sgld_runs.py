@@ -41,7 +41,7 @@ def sgld_grid_mixture(
     from lmc_atomi_tpu.kernels import sgmcmc as S
     from lmc_atomi_tpu.models import GridGaussianMixture
     from lmc_atomi_tpu.ops.prox import prox_laplace
-    from lmc_atomi_tpu.run.runner import run_chain
+    from lmc_atomi_tpu.run.runner import run_chain_jit
 
     gm = GridGaussianMixture.create(GRID_POSITIONS, sigma=sigma, lam=lamda)
     key = jax.random.PRNGKey(seed)
@@ -90,7 +90,7 @@ def sgld_grid_mixture(
         # bin — stacking the full (num_partitions,) energy histogram per
         # step would be a (k, num_partitions) array (~20 GB at the driver
         # defaults); the learned pdf is read from final_state only.
-        res = run_chain(kern, x0, kkey, k, collect="samples",
+        res = run_chain_jit(kern, x0, kkey, k, collect="samples",
                         collect_extras=(lambda e: e.energy_idx)
                         if contour else False)
         jax.block_until_ready(res.samples)

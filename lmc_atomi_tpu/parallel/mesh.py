@@ -128,7 +128,11 @@ def merge_chain_moments(moments):
     (small) per-chain summaries to host first so indexing is shard-free."""
     def fetch(l):
         # Multi-process (DCN tier): shards live on other hosts — allgather
-        # the (small) per-chain summaries; device_get only sees local shards.
+        # the (small) per-chain summaries; device_get only sees local
+        # shards. Under jit (tracers) the merge stays on-device: indexing a
+        # sharded traced array is fine, XLA inserts the collectives.
+        if isinstance(l, jax.core.Tracer):
+            return l
         if isinstance(l, jax.Array) and not l.is_fully_addressable:
             from jax.experimental import multihost_utils
 
