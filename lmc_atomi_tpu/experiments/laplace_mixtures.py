@@ -32,6 +32,7 @@ def lmc_laplacian_mixture(
     make_plots: bool = True,
     eval_w2: bool = True,
     w2_interval: int = 100,
+    eval_w2_exact: bool = False,  # exact 10k-sample EMD at the final prefix
     platform: str = "",
 ):
     import jax
@@ -88,12 +89,23 @@ def lmc_laplacian_mixture(
     true = np.asarray(lm.sample(jax.random.fold_in(key, 123), k_true))
 
     curves = {}
+    exact_final = {}
     if eval_w2:
         for name, s in samples.items():
             ks, vals = w2_prefix_curve(
                 jnp.asarray(true), jnp.asarray(s[:k_true]), interval=w2_interval
             )
             curves[name] = (np.asarray(ks), np.asarray(vals))
+            if eval_w2_exact:
+                # the reference's setting: exact network-simplex EMD on the
+                # first 10k samples (lmc.py:403-406, lmc_laplace.py:442-445)
+                from lmc_atomi_tpu.eval.wasserstein import exact_w2
+
+                exact_final[name] = float(
+                    np.sqrt(max(exact_w2(true, s[:k_true]), 0.0))
+                )
+                print(f"{name}: exact W2 at {k_true} samples = "
+                      f"{exact_final[name]:.4f}", file=sys.stderr)
 
     if make_plots:
         from lmc_atomi_tpu.experiments import figures as F
@@ -123,6 +135,7 @@ def lmc_laplacian_mixture(
         "iters_per_sec": {m: round(k * max(1, n_chains) / t, 1)
                           for m, t in timings.items()},
         "final_w2": {m: float(v[1][-1]) for m, v in curves.items()},
+        **({"final_w2_exact": exact_final} if exact_final else {}),
     }
     print(json.dumps(summary))
     return samples, curves, summary

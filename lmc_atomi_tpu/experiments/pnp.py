@@ -101,34 +101,58 @@ def pnp_ula_deblur(
                    box=(-1.0, 2.0))
 
     t0 = time.perf_counter()
+    # Bound each device execution to ~segment_steps sampler steps: the
+    # tunneled TPU runtime kills single executions running much past a
+    # minute, and chain-blocked farms at 2000 steps sit right at that edge.
+    # Segments carry positions on host and Chan-merge their Welford partials
+    # (identical statistics; burn-in masks only the first segment).
+    segment_steps = min(n_steps, 500)
+    segs = [segment_steps] * (n_steps // segment_steps)
+    if n_steps % segment_steps:
+        segs.append(n_steps % segment_steps)
+
     if n_chains > 1:
         # Chains run in vmapped blocks (DnCNN activations at 1024x256^2
         # would exceed single-chip HBM); blocks merge into one pooled
         # streaming estimate, so the statistics are those of all n_chains.
-        # The block runner is jitted ONCE and reused — eager run_chains
+        # The segment runner is jitted ONCE and reused — eager run_chains
         # dispatches per scan segment and measured ~10x slower.
         block = min(chain_block, n_chains)
 
-        run_block = jax.jit(
-            lambda k, nb: merge_chain_moments(
-                run_chains(kern, y, k, n_steps, n_chains=nb,
-                           collect="stats", burn_in=burn_in).moments
+        run_seg = jax.jit(
+            lambda x, k, nb, ns, bi: run_chains(
+                kern, x, k, ns, n_chains=nb, collect="stats", burn_in=bi,
+                batched=True,
             ),
-            static_argnums=1,
+            static_argnums=(2, 3, 4),
         )
         pooled = None
         for b in range(0, n_chains, block):
             nb = min(block, n_chains - b)  # exact final block size
-            part = run_block(jax.random.fold_in(ks, b), nb)
-            jax.block_until_ready(part.mean)
-            pooled = part if pooled is None else pooled.merge(part)
+            bkey = jax.random.fold_in(ks, b)
+            x = jnp.broadcast_to(y, (nb,) + y.shape)
+            for s, ns in enumerate(segs):
+                res = run_seg(x, jax.random.fold_in(bkey, s), nb, ns,
+                              burn_in if s == 0 else 0)
+                jax.block_until_ready(res.moments.mean)
+                x = res.final_state.position
+                part = merge_chain_moments(res.moments)
+                pooled = part if pooled is None else pooled.merge(part)
     else:
-        res = jax.jit(
-            lambda k: run_chain(kern, y, k, n_steps, collect="stats",
-                                burn_in=burn_in)
-        )(ks)
-        jax.block_until_ready(res.moments.mean)
-        pooled = res.moments
+        run_seg = jax.jit(
+            lambda x, k, ns, bi: run_chain(kern, x, k, ns, collect="stats",
+                                           burn_in=bi),
+            static_argnums=(2, 3),
+        )
+        x, pooled = y, None
+        for s, ns in enumerate(segs):
+            res = run_seg(x, jax.random.fold_in(ks, s), ns,
+                          burn_in if s == 0 else 0)
+            jax.block_until_ready(res.moments.mean)
+            x = res.final_state.position
+            pooled = res.moments if pooled is None else pooled.merge(
+                res.moments
+            )
     dt = time.perf_counter() - t0
 
     mean = np.asarray(pooled.mean)
