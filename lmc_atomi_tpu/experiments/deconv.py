@@ -158,14 +158,15 @@ def prox_lmc_deconv(
             else:  # MYULA samples with the TV prox regularizer
                 # TPU production path: the fully fused Pallas step (same
                 # math and metrics plumbing; PSNR parity gated in
-                # tests/test_myula_fused.py). prefer_stencil ops and the
-                # nonconvex priors keep the XLA kernel.
+                # tests/test_myula_fused.py) — all nine models, including
+                # the isotropic nonconvex MC-TV/ME-TV data terms.
+                # prefer_stencil ops keep the XLA kernel.
                 from lmc_atomi_tpu.kernels import (
                     myula_imaging_sep_fused,
                     sep_fused_supported,
                 )
 
-                if name.endswith("-TV") and sep_fused_supported(
+                if sep_fused_supported(
                     getattr(proxf, "op", None), x0.shape, x0.dtype
                 ):
                     kern = myula_imaging_sep_fused(

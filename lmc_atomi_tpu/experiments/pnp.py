@@ -5,10 +5,21 @@ Trains the denoiser in-repo on random synthetic phantoms (no external
 weights exist in this environment), then runs Plug-and-Play ULA on a
 deblurring posterior with ``n_chains`` vmapped chains; per-pixel posterior
 mean / std / credible-interval maps come from merged streaming moments.
+
+Process-level chain farming (the 1024-chain BASELINE config 5 run): a big
+farm splits into independent CLI invocations — train once with
+``--train_only true --params_path p.msgpack``, then run disjoint chain
+blocks with ``--chain_offset k --moments_out part_k.npz`` (each block
+reloads the same denoiser and draws a disjoint key stream), and finally
+``merge`` pools the per-block Welford moments into the full-farm posterior
+mean / credible-interval maps. This keeps every device execution short
+(flaky-link tolerant) and makes the farm resumable per block; see
+``scripts/expt_pnp1024.sh``.
 """
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -34,6 +45,10 @@ def pnp_ula_deblur(
     outdir: str = "fig",
     make_plots: bool = True,
     platform: str = "",
+    params_path: str = "",
+    train_only: bool = False,
+    chain_offset: int = 0,
+    moments_out: str = "",
 ):
     import jax
 
@@ -41,9 +56,11 @@ def pnp_ula_deblur(
         jax.config.update("jax_platforms", platform)
     import jax.numpy as jnp
 
+    from lmc_atomi_tpu.core.checkpoint import restore_checkpoint, save_checkpoint
     from lmc_atomi_tpu.eval.metrics import psnr as psnr_fn
     from lmc_atomi_tpu.kernels import pnp_ula
     from lmc_atomi_tpu.models.dncnn import (
+        DnCNN,
         conv_operator_norms,
         lipschitz_estimate,
         make_denoiser,
@@ -60,15 +77,28 @@ def pnp_ula_deblur(
     key = jax.random.PRNGKey(seed)
     kd, kn, ks = jax.random.split(key, 3)
 
-    print("training DnCNN prior on synthetic phantoms...", file=sys.stderr)
-    t0 = time.perf_counter()
-    params, apply_fn = train_denoiser(
-        kd, noise_sigma=denoiser_sigma, steps=train_steps,
-        depth=depth, features=features,
-        spectral_norm=spectral_norm if spectral_norm > 0 else None,
-    )
+    if params_path and os.path.exists(params_path):
+        model = DnCNN(depth=depth, features=features)
+        tmpl = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 40, 40)))
+        params = jax.tree.map(jnp.asarray, restore_checkpoint(params_path, tmpl))
+        apply_fn = model.apply
+        print(f"loaded denoiser from {params_path}", file=sys.stderr)
+    else:
+        print("training DnCNN prior on synthetic phantoms...", file=sys.stderr)
+        t0 = time.perf_counter()
+        params, apply_fn = train_denoiser(
+            kd, noise_sigma=denoiser_sigma, steps=train_steps,
+            depth=depth, features=features,
+            spectral_norm=spectral_norm if spectral_norm > 0 else None,
+        )
+        print(
+            f"denoiser trained in {time.perf_counter() - t0:.1f}s",
+            file=sys.stderr,
+        )
+        if params_path:
+            save_checkpoint(params_path, params)
+            print(f"saved denoiser to {params_path}", file=sys.stderr)
     denoiser = make_denoiser(params, apply_fn)
-    print(f"denoiser trained in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     # Lipschitz control (Laumont et al. ergodicity condition): certified
     # layer-product bound (circular-conv operator norms) + measured local
@@ -87,6 +117,13 @@ def pnp_ula_deblur(
         f"(circular bound), measured {lip_measured:.3f}",
         file=sys.stderr,
     )
+    if train_only:
+        report = {
+            "lipschitz_certified_bound": lip_bound,
+            "lipschitz_measured": float(lip_measured),
+        }
+        print(json.dumps({"workload": "pnp_train_denoiser", **report}))
+        return None, None, report
 
     blur = CirculantBlur2D.from_kernel((size, size), uniform_kernel(blur_size, dtype))
     y = jax.jit(
@@ -129,7 +166,9 @@ def pnp_ula_deblur(
         pooled = None
         for b in range(0, n_chains, block):
             nb = min(block, n_chains - b)  # exact final block size
-            bkey = jax.random.fold_in(ks, b)
+            # chain_offset shifts the key stream so separate process
+            # invocations covering disjoint chain ranges never collide
+            bkey = jax.random.fold_in(ks, chain_offset + b)
             x = jnp.broadcast_to(y, (nb,) + y.shape)
             for s, ns in enumerate(segs):
                 res = run_seg(x, jax.random.fold_in(bkey, s), nb, ns,
@@ -164,9 +203,19 @@ def pnp_ula_deblur(
         "psnr_posterior_mean": float(psnr_fn(img, jnp.asarray(mean, dtype))),
         "mean_ci_width": float(ci_width.mean()),
         "chain_steps_per_sec": round(n_steps * n_chains / dt, 1),
+        "lipschitz_certified_bound": lip_bound,
+        "lipschitz_measured": float(lip_measured),
     }
     print(json.dumps({"workload": "pnp_ula_deblur", "size": size,
                       "n_chains": n_chains, "steps": n_steps, **report}))
+    if moments_out:
+        np.savez(
+            moments_out, count=np.asarray(pooled.count),
+            mean=np.asarray(pooled.mean, np.float64),
+            m2=np.asarray(pooled.m2, np.float64),
+            size=size, seed=seed, n_chains=n_chains, n_steps=n_steps,
+        )
+        print(f"saved pooled moments to {moments_out}", file=sys.stderr)
 
     if make_plots:
         from lmc_atomi_tpu.experiments import figures as F
@@ -184,10 +233,63 @@ def pnp_ula_deblur(
     return mean, std, report
 
 
+def pnp_merge(
+    pattern: str = "/tmp/pnp_block_*.npz",
+    size: int = 256,
+    ci_z: float = 1.96,
+    out: str = "",
+    platform: str = "cpu",
+):
+    """Pool per-block moment files (``--moments_out``) into the full-farm
+    posterior mean / std / credible-interval report (host-side, CPU)."""
+    import glob
+
+    import jax
+
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    import jax.numpy as jnp
+
+    from lmc_atomi_tpu.core.stats import RunningMoments
+    from lmc_atomi_tpu.eval.metrics import psnr as psnr_fn
+    from lmc_atomi_tpu.utils.images import phantom
+
+    files = sorted(glob.glob(pattern))
+    if not files:
+        raise FileNotFoundError(f"no moment files match {pattern}")
+    pooled, n_chains = None, 0
+    for f in files:
+        d = np.load(f)
+        m = RunningMoments(
+            count=jnp.asarray(d["count"]),
+            mean=jnp.asarray(d["mean"], jnp.float64),
+            m2=jnp.asarray(d["m2"], jnp.float64),
+        )
+        pooled = m if pooled is None else pooled.merge(m)
+        n_chains += int(d["n_chains"]) if "n_chains" in d else 0
+    img = jnp.asarray(phantom(size), jnp.float64) / 255.0
+    mean, std = pooled.mean, np.asarray(pooled.std)
+    report = {
+        "n_blocks": len(files),
+        "n_chains": n_chains,
+        "n_chain_draws": int(pooled.count),
+        "psnr_posterior_mean": float(psnr_fn(img, mean)),
+        "mean_ci_width": float(2 * ci_z * std.mean()),
+        "std_max": float(std.max()),
+    }
+    print(json.dumps({"workload": "pnp_merge", **report}))
+    if out:
+        np.savez(out, mean=np.asarray(mean), std=std)
+    return report
+
+
 def main():
     from lmc_atomi_tpu.utils.cli import auto_cli
 
-    auto_cli(pnp_ula_deblur)
+    if len(sys.argv) > 1 and sys.argv[1] == "merge":
+        auto_cli(pnp_merge, sys.argv[2:])
+    else:
+        auto_cli(pnp_ula_deblur)
 
 
 if __name__ == "__main__":

@@ -29,6 +29,12 @@ The PRNG stream differs from the runner's threefry keys — statistically
 equivalent, not bit-equal. Parity gates: the deterministic part matches the
 unfused kernel to f32 tolerance (tests/test_myula_fused.py) and the
 posterior-mean PSNR matches the threefry path within 0.1 dB.
+
+Nonconvex data terms (round-2 extension): the same kernel also fuses the
+isotropic L2NcvxTV gradients (reference algs.py:270-291) — MC-TV's
+clamped-gradient divergence term is a handful more VPU rolls, ME-TV's
+Moreau-envelope term is a second in-VMEM Chambolle loop — so all nine
+deconvolution models (3 PSFs x {TV, MC-TV, ME-TV}) run the fused path.
 """
 from __future__ import annotations
 
@@ -124,10 +130,11 @@ def _sep_gram(x, taps: Taps, oy: int, ox: int, pltpu):
     return out
 
 
-def _tv_prox(x, tv_gamma, masks, niter: int, step: float, pltpu):
-    """Chambolle dual TV prox, identical math to ops/tv.py::prox_tv_iso."""
+def _grad_div_ops(shape, masks, pltpu):
+    """Forward-difference gradient and divergence on the VPU, identical math
+    to ops/tv.py::_fwd_diff / _fwd_diff_adjoint_neg (zeroed last slot)."""
     my, mx = masks
-    ny, nx = x.shape
+    ny, nx = shape
 
     def fwd_y(a):
         return (pltpu.roll(a, ny - 1, 0) - a) * my
@@ -136,12 +143,19 @@ def _tv_prox(x, tv_gamma, masks, niter: int, step: float, pltpu):
         return (pltpu.roll(a, nx - 1, 1) - a) * mx
 
     def div(py, px):
-        # The mask multiplies are redundant math (py/px stay masked by
-        # construction) but measurably HELP Mosaic's schedule: 63.6 vs
-        # 69.3 us/step at 512^2 without them.
+        # The mask multiplies are redundant math when py/px are already
+        # masked by construction, but measurably HELP Mosaic's schedule:
+        # 63.6 vs 69.3 us/step at 512^2 without them.
         pym = py * my
         pxm = px * mx
         return (pym - pltpu.roll(pym, 1, 0)) + (pxm - pltpu.roll(pxm, 1, 1))
+
+    return fwd_y, fwd_x, div
+
+
+def _tv_prox(x, tv_gamma, masks, niter: int, step: float, pltpu):
+    """Chambolle dual TV prox, identical math to ops/tv.py::prox_tv_iso."""
+    fwd_y, fwd_x, div = _grad_div_ops(x.shape, masks, pltpu)
 
     xg = x / tv_gamma
 
@@ -181,6 +195,7 @@ def _block_kernel(
     x_ref, atbs_ref, mean_ref, m2_ref, seed_ref, scal_ref, int_ref,
     xo_ref, meano_ref, m2o_ref,
     *, taps, oy, ox, n_steps, niter_tv, tv_step, with_noise, with_stats,
+    mode, niter_inner,
 ):
     from jax.experimental.pallas import tpu as pltpu
 
@@ -191,6 +206,9 @@ def _block_kernel(
     tv_gamma = scal_ref[2]
     noise_scale = scal_ref[3]
     gscale = scal_ref[4]  # sigma of the data term
+    if mode != "tv":
+        lamda = scal_ref[5]  # nonconvex-prior weight (L2NcvxTV.lamda)
+        gamma_mc = scal_ref[6]  # Moreau-envelope gamma (L2NcvxTV.gamma)
     step0 = int_ref[0]  # global step index of the first step in this block
     burn = int_ref[1]  # burn-in in steps (stats masked while step < burn)
     cnt0 = int_ref[2]  # Welford count entering this block
@@ -205,6 +223,20 @@ def _block_kernel(
     def one_step(i, carry, xi):
         x, mean, m2 = carry
         grad = gscale * _sep_gram(x, taps, oy, ox, pltpu) - atbs
+        if mode == "mctv":
+            # MC-TV concave term (ops/ncvx_tv.py::_grad_moreau, op2 path):
+            # grad f -= lamda * G^T(min(1/gamma, 1/|Gx|) Gx); G^T p = -div p
+            fwd_y, fwd_x, div = _grad_div_ops(x.shape, masks, pltpu)
+            gy = fwd_y(x)
+            gx = fwd_x(x)
+            mag = jnp.sqrt(gy * gy + gx * gx)
+            mag = jnp.where(mag != 0.0, mag, 1e-9)
+            clamp = jnp.minimum(1.0 / gamma_mc, 1.0 / mag)
+            grad = grad + lamda * div(clamp * gy, clamp * gx)
+        elif mode == "metv":
+            # ME-TV concave term: grad f -= lamda * (x - prox_{gamma TV}x)/gamma
+            p = _tv_prox(x, gamma_mc, masks, niter_inner, tv_step, pltpu)
+            grad = grad - (lamda / gamma_mc) * (x - p)
         tvprox = _tv_prox(x, tv_gamma, masks, niter_tv, tv_step, pltpu)
         x_new = (1.0 - tau / gamma) * x - tau * grad + (tau / gamma) * tvprox
         if with_noise:
@@ -251,20 +283,23 @@ def _block_kernel(
     jax.jit,
     static_argnames=(
         "taps", "oy", "ox", "n_steps", "niter_tv", "tv_step",
-        "with_noise", "with_stats", "interpret",
+        "with_noise", "with_stats", "interpret", "mode", "niter_inner",
     ),
 )
 def myula_tv_block_update(
     x, atbs, mean, m2, seed, scal_f, scal_i, *,
     taps: Taps, oy: int, ox: int, n_steps: int = 1, niter_tv: int = 10,
     tv_step: float = 0.25, with_noise: bool = True, with_stats: bool = True,
-    interpret: bool = False,
+    interpret: bool = False, mode: str = "tv", niter_inner: int = 10,
 ):
     """``n_steps`` fused MYULA steps (+ optional in-kernel Welford).
 
     ``atbs = sigma * A^T b``; ``scal_f = [tau, gamma, tv_gamma, noise_scale,
-    sigma]`` (dtype of x); ``scal_i = [step0, burn_in, count0]`` (int32);
-    ``seed`` is int32 (2,). Returns ``(x', mean', m2')``.
+    sigma]`` (dtype of x) — nonconvex modes append ``[lamda, gamma_mc]``;
+    ``scal_i = [step0, burn_in, count0]`` (int32); ``seed`` is int32 (2,).
+    ``mode`` selects the data-term gradient: ``"tv"`` (plain L2Data),
+    ``"mctv"`` / ``"metv"`` (isotropic L2NcvxTV concave corrections,
+    reference algs.py:270-291). Returns ``(x', mean', m2')``.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -278,6 +313,7 @@ def myula_tv_block_update(
         _block_kernel,
         taps=taps, oy=oy, ox=ox, n_steps=n_steps, niter_tv=niter_tv,
         tv_step=tv_step, with_noise=with_noise, with_stats=with_stats,
+        mode=mode, niter_inner=niter_inner,
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -308,9 +344,33 @@ def _key_seed(key, offset: int = 0):
     return jnp.stack([kd[0] + jnp.asarray(offset, jnp.int32), kd[-1]])
 
 
+def _fused_mode(l2) -> Tuple[str, float, float, int]:
+    """Classify the data term: plain L2Data -> "tv"; isotropic L2NcvxTV ->
+    "mctv" (op2 = forward-difference gradient) or "metv" (op2 = None).
+    Returns ``(mode, lamda, gamma_mc, niter_inner)``."""
+    if not hasattr(l2, "lamda"):
+        return "tv", 0.0, 1.0, 0
+    if not l2.isotropic:
+        raise ValueError("fused nonconvex MYULA supports isotropic TV only")
+    if l2.q is not None:
+        raise ValueError("fused nonconvex MYULA does not support a q term")
+    if l2.op2 is None:
+        mode = "metv"
+    else:
+        from lmc_atomi_tpu.ops.linops import Gradient2D
+
+        if not isinstance(l2.op2, Gradient2D) or float(l2.op2.sampling) != 1.0:
+            raise ValueError(
+                "fused MC-TV needs op2 = Gradient2D(sampling=1)"
+            )
+        mode = "mctv"
+    return mode, float(l2.lamda), float(l2.gamma), int(l2.niter_inner)
+
+
 def _fused_params(l2, tv_sigma, tau, gamma, niter_tv):
-    """Shared setup: taps/offsets/atbs + static scalars from an L2Data over a
-    CirculantBlur2D with a cached small-PSF autocorrelation."""
+    """Shared setup: taps/offsets/atbs + static scalars from an L2Data or an
+    isotropic L2NcvxTV over a CirculantBlur2D with a cached small-PSF
+    autocorrelation."""
     op = l2.op
     hh = op.hh
     if hh is None:
@@ -321,7 +381,7 @@ def _fused_params(l2, tv_sigma, tau, gamma, niter_tv):
     taps = separable_gram_taps(hh)
     oy, ox = hh.shape[0] // 2, hh.shape[1] // 2
     sigma = l2.sigma
-    if l2.atb is not None:
+    if getattr(l2, "atb", None) is not None:
         atbs = sigma * l2.atb
     else:
         atbs = jax.jit(lambda b: sigma * op.rmatvec(b))(l2.b)
@@ -345,6 +405,7 @@ def myula_imaging_sep_fused(
     distinct chains/steps get distinct noise streams.
     """
     taps, (oy, ox), atbs = _fused_params(l2, tv_sigma, tau, gamma, niter_tv)
+    mode, lamda, gamma_mc, niter_inner = _fused_mode(l2)
     dummy = jnp.zeros((1, 1), atbs.dtype)
 
     def init(x0):
@@ -352,25 +413,33 @@ def myula_imaging_sep_fused(
 
     def step(state, key):
         x = state.position
-        scal_f = jnp.stack(
-            [
-                jnp.asarray(tau, x.dtype),
-                jnp.asarray(gamma, x.dtype),
-                jnp.asarray(tv_sigma * gamma, x.dtype),
-                jnp.asarray(noise_scale, x.dtype),
-                jnp.asarray(l2.sigma, x.dtype),
-            ]
+        scal_f = _pack_scal_f(
+            l2, tau, gamma, tv_sigma, noise_scale, lamda, gamma_mc, x.dtype
         )
         scal_i = jnp.zeros((3,), jnp.int32)
         x_new, _, _ = myula_tv_block_update(
             x, atbs, dummy, dummy, _key_seed(key, base_seed), scal_f, scal_i,
             taps=taps, oy=oy, ox=ox, n_steps=1, niter_tv=niter_tv,
             with_noise=noise_scale != 0.0, with_stats=False,
-            interpret=interpret,
+            interpret=interpret, mode=mode, niter_inner=niter_inner,
         )
         return state.next(x_new), StepInfo()
 
     return Kernel(init, step)
+
+
+def _pack_scal_f(l2, tau, gamma, tv_sigma, noise_scale, lamda, gamma_mc, dtype):
+    return jnp.stack(
+        [
+            jnp.asarray(tau, dtype),
+            jnp.asarray(gamma, dtype),
+            jnp.asarray(tv_sigma * gamma, dtype),
+            jnp.asarray(noise_scale, dtype),
+            jnp.asarray(l2.sigma, dtype),
+            jnp.asarray(lamda, dtype),
+            jnp.asarray(gamma_mc, dtype),
+        ]
+    )
 
 
 class FusedChainResult(NamedTuple):
@@ -406,6 +475,7 @@ def run_myula_tv_fused(
     in-kernel Welford; ``burn_in`` in steps).
     """
     taps, (oy, ox), atbs = _fused_params(l2, tv_sigma, tau, gamma, niter_tv)
+    mode, lamda, gamma_mc, niter_inner = _fused_mode(l2)
     if block is None:
         block = min(n_steps, 256)
     while n_steps % block:
@@ -414,14 +484,8 @@ def run_myula_tv_fused(
     key = as_key(key)
     x0 = jnp.asarray(x0)
 
-    scal_f = jnp.stack(
-        [
-            jnp.asarray(tau, x0.dtype),
-            jnp.asarray(gamma, x0.dtype),
-            jnp.asarray(tv_sigma * gamma, x0.dtype),
-            jnp.asarray(noise_scale, x0.dtype),
-            jnp.asarray(l2.sigma, x0.dtype),
-        ]
+    scal_f = _pack_scal_f(
+        l2, tau, gamma, tv_sigma, noise_scale, lamda, gamma_mc, x0.dtype
     )
 
     def body(carry, b):
@@ -435,7 +499,7 @@ def run_myula_tv_fused(
             x, atbs, mean, m2, _key_seed(step_key(key, b)), scal_f, scal_i,
             taps=taps, oy=oy, ox=ox, n_steps=block, niter_tv=niter_tv,
             with_noise=noise_scale != 0.0, with_stats=True,
-            interpret=interpret,
+            interpret=interpret, mode=mode, niter_inner=niter_inner,
         )
         return (x, mean, m2), None
 

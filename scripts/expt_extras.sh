@@ -20,4 +20,6 @@ done
 python -m lmc_atomi_tpu.experiments.ct --size 128 --n_angles 30 --n_steps 2000
 
 # PnP-ULA credible-interval maps, 1024 chains in 64-chain blocks
+# (one process; over a flaky tunneled device prefer the block-per-process
+# resumable variant: scripts/expt_pnp1024.sh)
 python -m lmc_atomi_tpu.experiments.pnp --size 256 --n_chains 1024 --chain_block 64 --n_steps 2000 --burn_in 200

@@ -125,6 +125,74 @@ class TestDeterministicParity:
         )
 
 
+class TestNonconvexParity:
+    """Fused MC-TV / ME-TV data-term gradients (isotropic L2NcvxTV) must
+    match the unfused XLA kernel step exactly (noise off, interpret mode)."""
+
+    def _ncvx(self, which, blur, y):
+        from lmc_atomi_tpu.ops.linops import Gradient2D
+        from lmc_atomi_tpu.ops.ncvx_tv import L2NcvxTV
+
+        return L2NcvxTV(
+            op=blur, b=y, op2=Gradient2D() if which == "mctv" else None,
+            sigma=1 / 0.75**2, lamda=0.3, gamma=15.0, isotropic=True,
+            niter_inner=10,
+        )
+
+    @pytest.mark.parametrize("which", ["mctv", "metv"])
+    def test_single_step(self, which):
+        img, blur, y, l2, tau, gamma = _problem()
+        nc = self._ncvx(which, blur, y)
+        tv = TVNorm(sigma=0.3, niter=10)
+        x0 = jnp.asarray(
+            np.random.default_rng(4).normal(size=img.shape).astype(np.float32)
+        )
+        want = (
+            (1 - tau / gamma) * x0
+            - tau * nc.grad(x0)
+            + (tau / gamma) * tv.prox(x0, gamma)
+        )
+        kern = myula_imaging_sep_fused(
+            nc, 0.3, tau, gamma, noise_scale=0.0, interpret=not ON_TPU
+        )
+        st, _ = kern.step(kern.init(x0), jax.random.PRNGKey(5))
+        scale = float(jnp.abs(want).max())
+        np.testing.assert_allclose(
+            np.asarray(st.position), np.asarray(want),
+            atol=3e-5 * max(scale, 1.0),
+        )
+
+    @pytest.mark.parametrize("which", ["mctv", "metv"])
+    def test_block_driver_multistep(self, which):
+        img, blur, y, l2, tau, gamma = _problem()
+        nc = self._ncvx(which, blur, y)
+        tv = TVNorm(sigma=0.3, niter=10)
+        x0 = jnp.zeros_like(img)
+        res = run_myula_tv_fused(
+            nc, 0.3, tau, gamma, x0, jax.random.PRNGKey(6), 6,
+            block=3, noise_scale=0.0, interpret=not ON_TPU,
+        )
+        xs = x0
+        for _ in range(6):
+            xs = (
+                (1 - tau / gamma) * xs
+                - tau * nc.grad(xs)
+                + (tau / gamma) * tv.prox(xs, gamma)
+            )
+        np.testing.assert_allclose(
+            np.asarray(res.final_state.position), np.asarray(xs), atol=3e-3
+        )
+
+    def test_anisotropic_rejected(self):
+        img, blur, y, l2, tau, gamma = _problem()
+        from lmc_atomi_tpu.ops.ncvx_tv import L2NcvxTV
+
+        nc = L2NcvxTV(op=blur, b=y, op2=None, sigma=1.0, lamda=0.3,
+                      gamma=15.0, isotropic=False)
+        with pytest.raises(ValueError, match="isotropic"):
+            myula_imaging_sep_fused(nc, 0.3, tau, gamma, noise_scale=0.0)
+
+
 @pytest.mark.skipif(not ON_TPU, reason="on-core PRNG needs a real TPU")
 class TestFusedNoiseTPU:
     def test_noise_statistics(self):
