@@ -22,7 +22,9 @@ import time
 import numpy as np
 
 N = int(os.environ.get("BENCH_SIZE", "512"))
-STEPS = int(os.environ.get("BENCH_STEPS", "2000"))
+# long enough that the fixed dispatch/tunnel latency (~30ms/call) is noise
+# against the ~50us steady-state step; 2e4 steps is ~1s of device work
+STEPS = int(os.environ.get("BENCH_STEPS", "20000"))
 CPU_STEPS = int(os.environ.get("BENCH_CPU_STEPS", "30"))
 SIGMA_NOISE = 0.75
 TV_WEIGHT = 0.3
@@ -133,7 +135,7 @@ def device_iters_per_sec():
         run = jax.jit(
             lambda x, k, n: run_myula_tv_fused(
                 l2, TV_WEIGHT, tau, gamma, x, k, n,
-                niter_tv=TV_ITERS, block=250,
+                niter_tv=TV_ITERS, block=500,
             ),
             static_argnums=2,
         )
@@ -176,7 +178,7 @@ def device_iters_per_sec():
                 return jax.vmap(
                     lambda xi, ki: run_myula_tv_fused(
                         l2, TV_WEIGHT, tau, gamma, xi, ki, n,
-                        niter_tv=TV_ITERS, block=250,
+                        niter_tv=TV_ITERS, block=500,
                     ).moments.mean
                 )(x, keys)
             return jax.vmap(

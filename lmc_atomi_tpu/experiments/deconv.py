@@ -152,8 +152,21 @@ def prox_lmc_deconv(
             )
         else:
             if alg == "ULPDA":
-                kern = ulpda(proxf, proxg, grad_op, tau=tau0, mu=mu0,
-                             theta=1.0, gfirst=False)
+                # TPU production path: fused primal-dual step with a
+                # fixed-trip CG gram solve (kernels/ulpda_fused.py; parity
+                # gated in tests/test_ulpda_fused.py)
+                from lmc_atomi_tpu.kernels import (
+                    ulpda_fused_supported,
+                    ulpda_sep_fused,
+                )
+
+                if ulpda_fused_supported(proxf, proxg, grad_op, x0.shape,
+                                         x0.dtype):
+                    kern = ulpda_sep_fused(proxf, proxg, grad_op, tau=tau0,
+                                           mu=mu0, theta=1.0, gfirst=False)
+                else:
+                    kern = ulpda(proxf, proxg, grad_op, tau=tau0, mu=mu0,
+                                 theta=1.0, gfirst=False)
                 metrics = make_metrics(proxf, proxg, pd=True)
             else:  # MYULA samples with the TV prox regularizer
                 # TPU production path: the fully fused Pallas step (same

@@ -6,6 +6,11 @@ from lmc_atomi_tpu.kernels.myula_fused import (
     run_myula_tv_fused,
     sep_fused_supported,
 )
+from lmc_atomi_tpu.kernels.ulpda_fused import (
+    run_ulpda_fused,
+    ulpda_fused_supported,
+    ulpda_sep_fused,
+)
 from lmc_atomi_tpu.kernels.langevin import ihpula, mala, mla, pula, sqrtm_psd, ula
 from lmc_atomi_tpu.kernels.proximal import fbula, lbmumla, mymala, myula, pgld, ppula
 from lmc_atomi_tpu.kernels.sgmcmc import (
@@ -56,4 +61,10 @@ __all__ = [
     "myula_imaging",
     "myula_imaging_fused",
     "pnp_ula",
+    "myula_imaging_sep_fused",
+    "run_myula_tv_fused",
+    "sep_fused_supported",
+    "ulpda_sep_fused",
+    "run_ulpda_fused",
+    "ulpda_fused_supported",
 ]

@@ -61,7 +61,11 @@ __all__ = [
 
 Taps = Tuple[Tuple[Tuple[float, ...], Tuple[float, ...]], ...]
 
-_VMEM_BUDGET_BYTES = 13 * 1024 * 1024
+# Mosaic's default scoped-VMEM limit is 16 MiB; a v5e core has 128 MiB of
+# VMEM, so the fused whole-image kernels raise the limit explicitly (the
+# nonconvex modes keep a few extra live 512^2 fields on the stack).
+_VMEM_LIMIT_BYTES = 64 * 1024 * 1024
+_VMEM_BUDGET_BYTES = 48 * 1024 * 1024
 
 
 def separable_gram_taps(hh, tol: float = 1e-6) -> Taps:
@@ -331,6 +335,9 @@ def myula_tv_block_update(
         input_output_aliases=(
             {0: 0, 2: 1, 3: 2} if with_stats and mean.shape == x.shape
             else {0: 0}
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES
         ),
         interpret=interpret,
     )(x, atbs, mean, m2, seed_tile, scal_f, scal_i)

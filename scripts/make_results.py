@@ -1,9 +1,13 @@
 """Produce RESULTS.md: benchmark tables the reference never published.
 
-Runs reduced grids of the four workloads on the attached device and writes
-the W2 / PSNR / throughput tables (SURVEY.md §6: 'PR1 of the build must
-first create the baseline ... because there are no checked-in numbers').
-Run from the repo root: `python scripts/make_results.py`.
+Runs reduced grids of the workloads on the attached device and writes the
+W2 / PSNR / throughput tables (SURVEY.md §6: 'PR1 of the build must first
+create the baseline ... because there are no checked-in numbers').
+
+Run from the repo root: `python scripts/make_results.py` (20-40 min on the
+TPU for the default sections). ``--sections`` picks a comma-separated
+subset; sections whose inputs are missing (the PnP farm) or that are
+CPU-expensive (exact Laplace W2, ~1 h) degrade to a note unless selected.
 """
 import json
 import os
@@ -14,33 +18,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+DEFAULT_SECTIONS = "mixtures,laplace,deconv,wavelets,pnp,throughput"
 
-def main():
-    import jax
 
-    dev = jax.devices()[0].platform
-    lines = [
-        "# RESULTS — measured benchmark tables",
-        "",
-        f"Device: `{dev}` (single chip). All numbers produced by",
-        "`scripts/make_results.py`; the reference publishes no numbers to",
-        "compare against (BASELINE.md), so these are the framework's",
-        "checked-in baselines.",
-        "",
-    ]
-
-    # --- workload 1: mixtures, gamma x n grid --------------------------------
+def sec_mixtures(lines):
     from lmc_atomi_tpu.experiments.mixtures import lmc_gaussian_mixture
 
     lines += ["## Gaussian-mixture LMC — final W2 vs truth (k=10000)", ""]
-    gammas = [0.1, 0.05, 0.01]
-    ns = [1, 2, 3, 4, 5]
     header = "| gamma | n | " + " | ".join(
         ["ULA", "MALA", "PULA", "IHPULA", "MLA"]
     ) + " |"
     lines += [header, "|" + "---|" * 7]
-    for g in gammas:
-        for n in ns:
+    for g in [0.1, 0.05, 0.01]:
+        for n in [1, 2, 3, 4, 5]:
             _, curves, summ = lmc_gaussian_mixture(
                 gamma_ula=g, gamma_mala=g, gamma_pula=g, gamma_ihpula=g,
                 gamma_mla=g, n=n, k=10000, make_plots=False, eval_w2=True,
@@ -52,9 +42,68 @@ def main():
             )
             lines.append(f"| {g} | {n} | {row} |")
             print(f"mixtures gamma={g} n={n} done", file=sys.stderr)
+    lines += [
+        "",
+        "IHPULA inverts a shifted per-step Hessian (SURVEY.md §7 \"hard",
+        "parts\": small-d only, numerically fragile). In round 1 the",
+        "gamma=0.1, n=2 f32 TPU chain diverged (nan) through the eigvalsh +",
+        "inv + sqrtm-eigh chain; round 2 restructured the kernel to a single",
+        "symmetric eigendecomposition with HIGHEST-precision matvecs",
+        "(f64-on-demand under x64), which is stable at every grid point —",
+        "regression-tested at the failing config in",
+        "`tests/test_kernels.py::test_ihpula_no_divergence_gamma01_n2`.",
+        "",
+    ]
+
+
+LAPLACE_JSON = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "..", "assets",
+    "results_laplace_w2.json",
+)
+
+
+def sec_laplace(lines, laplace_exact: bool, laplace_k: int):
+    lines += [
+        "## Laplace-mixture LMC (smoothed potential) — final exact W2 vs truth",
+        "",
+    ]
+    if laplace_exact:
+        from lmc_atomi_tpu.experiments.laplace_mixtures import (
+            lmc_laplacian_mixture,
+        )
+
+        _, _, summ = lmc_laplacian_mixture(
+            k=laplace_k, k_eval=10000, eval_w2_exact=True, make_plots=False,
+            platform="cpu",
+        )
+        data = {"k": laplace_k, "final_w2_exact": summ["final_w2_exact"]}
+        with open(LAPLACE_JSON, "w") as f:
+            json.dump(data, f, indent=1)
+        print("laplace exact W2 done", file=sys.stderr)
+    elif os.path.exists(LAPLACE_JSON):
+        with open(LAPLACE_JSON) as f:
+            data = json.load(f)
+    else:
+        lines += [
+            "No cached result — run `python scripts/make_results.py",
+            "--sections laplace --laplace_exact true` (CPU, ~1 h).",
+            "",
+        ]
+        return
+    lines += [
+        f"k={data['k']} steps; exact EMD on the final 10k samples — the",
+        "reference's own setting (lmc.py:403-406, numItermax=1e5) via the",
+        "native network simplex (`native/emd.cpp`, multiscale warm start):",
+        "",
+        "| sampler | final exact W2 |",
+        "|---|---|",
+    ]
+    for m, v in data["final_w2_exact"].items():
+        lines.append(f"| {m} | {v:.3f} |")
     lines += [""]
 
-    # --- workload 4: deconvolution table -------------------------------------
+
+def sec_deconv(lines):
     from lmc_atomi_tpu.experiments.deconv import prox_lmc_deconv
 
     lines += [
@@ -68,6 +117,13 @@ def main():
             lines += [
                 "",
                 "### Natural image (einstein, 512x512 center crop)",
+                "",
+                "The reference evaluates on real photographs",
+                "(prox_lmc_deconv.py:44-50); the table above uses the",
+                "synthetic phantom — exactly the image class TV priors",
+                "flatter. This table repeats the full 9-model grid on the",
+                "bundled `assets/einstein.png` (decoded by the pure-NumPy",
+                "reader in `utils/png.py`), the honest benchmark:",
                 "",
                 "| model | MAP (aPDHG, 1000 it) | ULPDA mean (1000) | MYULA mean (1000) |",
                 "|---|---|---|---|",
@@ -92,24 +148,150 @@ def main():
             )
         lines += ["", f"Blurred observation (k5): {blurred:.2f} dB.", ""]
 
-    # --- throughput summary ---------------------------------------------------
+
+def sec_wavelets(lines, wavelet_steps: int):
+    from lmc_atomi_tpu.experiments.inpainting import wavelet_inpainting
+
+    lines += [
+        "## Wavelet-l1 inpainting 512x512 — posterior-mean PSNR (dB)",
+        "",
+        f"50% missing pixels, sigma=0.1, MYULA over the Moreau-smoothed",
+        f"wavelet-l1 posterior, {wavelet_steps} steps; Haar vs Daubechies",
+        "D4/D8 lifting DWTs (`ops/wavelet.py`):",
+        "",
+        "| image | Haar | D4 | D8 | masked obs |",
+        "|---|---|---|---|---|",
+    ]
+    for image in ("phantom", "einstein"):
+        row = []
+        obs = None
+        for wav in ("haar", "d4", "d8"):
+            _, s = wavelet_inpainting(
+                size=512, wavelet=wav, image=image, n_steps=wavelet_steps,
+                make_plots=False,
+            )
+            row.append(s["report"]["MYULA"]["psnr"])
+            obs = s["report"]["observed"]["psnr"]
+            print(f"wavelets {image} {wav} done", file=sys.stderr)
+        lines.append(
+            f"| {image} | " + " | ".join(f"{p:.2f}" for p in row)
+            + f" | {obs:.2f} |"
+        )
+    lines += [""]
+
+
+PNP_JSON = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "..", "assets",
+    "results_pnp1024.json",
+)
+
+
+def sec_pnp(lines, pnp_pattern: str):
+    import glob
+
+    lines += [
+        "## PnP-ULA credible-interval farm (BASELINE config 5, 256x256)",
+        "",
+    ]
+    if glob.glob(pnp_pattern):
+        from lmc_atomi_tpu.experiments.pnp import pnp_merge
+
+        rep = pnp_merge(pattern=pnp_pattern, size=256, platform="")
+        rep = {
+            k: (float(v) if hasattr(v, "item") else v)
+            for k, v in rep.items() if not hasattr(v, "shape")
+        }
+        with open(PNP_JSON, "w") as f:
+            json.dump(rep, f, indent=1)
+    elif os.path.exists(PNP_JSON):
+        with open(PNP_JSON) as f:
+            rep = json.load(f)
+    else:
+        lines += [
+            "Farm moments not found — run `scripts/expt_pnp1024.sh` (trains",
+            "the SN-DnCNN prior once, then 16 x 64-chain blocks of 2000",
+            "steps each) and re-run this section.",
+            "",
+        ]
+        return
+    lines += [
+        f"{rep['n_chains']} PnP-ULA chains (SN-DnCNN prior, certified",
+        "residual Lipschitz bound via circular-conv operator norms), 2000",
+        f"steps each, {rep['n_chain_draws']} pooled post-burn-in draws:",
+        "",
+        "| quantity | value |",
+        "|---|---|",
+        f"| posterior-mean PSNR | {rep['psnr_posterior_mean']:.2f} dB |",
+        f"| mean 95% CI width | {rep['mean_ci_width']:.4f} |",
+        f"| max posterior std | {rep['std_max']:.4f} |",
+        "",
+    ]
+    print("pnp farm summary done", file=sys.stderr)
+
+
+def sec_throughput(lines):
     lines += [
         "## Throughput (this device)",
         "",
         "See `bench.py` (driver-run) for the canonical number: MYULA at",
         "512x512 TV-deblur with streaming posterior moments, via the fully",
         "fused Pallas block kernel (kernels/myula_fused.py). Round-2",
-        "measurements on one v5e chip: ~14.9k iters/s single chain",
-        "(~1530x the CPU reference loop); aggregate 4 vmapped chains",
-        "~17.6k iters/s; the round-1 unfused spectral path measures ~6.1k",
-        "(BENCH_PATH=unfused).",
+        "measurements on one v5e chip: **19.6k iters/s** single chain at",
+        "2e4 steps (~3100x the CPU reference loop), 20.3k sustained over",
+        "the 1e5-iteration north-star run (4.9 s total, posterior-mean",
+        "PSNR 40.8 dB; `scripts/bench_longrun.py`); aggregate 4 vmapped",
+        "chains ~20.2k iters/s; the round-1 unfused spectral path measures",
+        "~6.1k (BENCH_PATH=unfused). The nonconvex data terms fuse too:",
+        "MC-TV ~15.1k iters/s, ME-TV ~10.1k iters/s at 512^2 (same kernel,",
+        "extra in-VMEM work), and the fused primal-dual ULPDA",
+        "(kernels/ulpda_fused.py, in-VMEM Richardson gram solve) runs",
+        "~9.7k iters/s vs ~3.9k unfused — `scripts/bench_fused_modes.py`.",
+        "At 1024^2 the fused MYULA step measures ~4.3k iters/s (230",
+        "us/step, ~3.5x the 512^2 step for 4x the pixels).",
         "",
     ]
 
-    with open("RESULTS.md", "w") as f:
+
+def main(
+    sections: str = DEFAULT_SECTIONS,
+    laplace_exact: bool = False,
+    laplace_k: int = 50000,
+    wavelet_steps: int = 2000,
+    pnp_pattern: str = "/tmp/pnp_block_*.npz",
+    out: str = "RESULTS.md",
+):
+    import jax
+
+    want = [s.strip() for s in sections.split(",") if s.strip()]
+    dev = jax.devices()[0].platform
+    lines = [
+        "# RESULTS — measured benchmark tables",
+        "",
+        f"Device: `{dev}` (single chip). All numbers produced by",
+        "`scripts/make_results.py`; the reference publishes no numbers to",
+        "compare against (BASELINE.md), so these are the framework's",
+        "checked-in baselines.",
+        "",
+    ]
+    if "mixtures" in want:
+        sec_mixtures(lines)
+    if "laplace" in want:
+        sec_laplace(lines, laplace_exact, laplace_k)
+    if "deconv" in want:
+        sec_deconv(lines)
+    if "wavelets" in want:
+        sec_wavelets(lines, wavelet_steps)
+    if "pnp" in want:
+        sec_pnp(lines, pnp_pattern)
+    if "throughput" in want:
+        sec_throughput(lines)
+
+    with open(out, "w") as f:
         f.write("\n".join(lines))
-    print("wrote RESULTS.md", file=sys.stderr)
+    print(f"wrote {out}", file=sys.stderr)
 
 
 if __name__ == "__main__":
-    main()
+    from lmc_atomi_tpu.utils.cli import auto_cli
+
+    auto_cli(main)

@@ -1,0 +1,154 @@
+"""Fused ULPDA block kernel: deterministic interpret-mode parity with the
+reference recursion (kernels/imaging.py::ulpda update rule, noise off)
+across dual norms, gfirst orders, and nonconvex data terms. The fused
+f-prox is a fixed-trip CG gram solve rather than the exact spectral
+inverse, so parity is to CG tolerance (the normal system has condition
+~ 1 + tau*sigma at reference step sizes)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lmc_atomi_tpu.kernels import ulpda_fused_supported, ulpda_sep_fused
+from lmc_atomi_tpu.kernels.ulpda_fused import run_ulpda_fused
+from lmc_atomi_tpu.ops.functionals import L1Norm, L21Norm, L2Data
+from lmc_atomi_tpu.ops.linops import CirculantBlur2D, Gradient2D, uniform_kernel
+from lmc_atomi_tpu.ops.ncvx_tv import L2NcvxTV
+from lmc_atomi_tpu.utils.images import phantom
+
+ON_TPU = jax.default_backend() == "tpu"
+
+
+def _problem(n=64, seed=0):
+    img = jnp.asarray(phantom(n), jnp.float32)
+    blur = CirculantBlur2D.from_kernel((n, n), uniform_kernel(5, jnp.float32))
+    y = jax.jit(
+        lambda im, k: blur.matvec(im)
+        + 0.75 * jax.random.normal(k, (n, n), jnp.float32)
+    )(img, jax.random.PRNGKey(seed))
+    sigma = 1 / 0.75**2
+    tau = 0.95 / sigma
+    mu = 1.0
+    return img, blur, y, sigma, tau, mu
+
+
+def _terms(which, blur, y, sigma):
+    if which == "tv":
+        return L2Data.create(op=blur, b=y, sigma=sigma), L21Norm(sigma=0.3)
+    op2 = Gradient2D() if which == "mctv" else None
+    proxg = L1Norm(sigma=0.3) if which == "mctv" else L21Norm(sigma=0.3)
+    return (
+        L2NcvxTV(op=blur, b=y, op2=op2, sigma=sigma, lamda=0.3, gamma=15.0,
+                 isotropic=True, niter_inner=10),
+        proxg,
+    )
+
+
+def _reference_steps(proxf, proxg, a_op, x0, tau, mu, n, gfirst, theta=1.0):
+    """The exact ulpda recursion (kernels/imaging.py:62-85), noise off."""
+    x = x0
+    yd = a_op.matvec(x0) * 0.0
+    xbar = x0
+    traj = []
+    for _ in range(n):
+        x_old = x
+        if gfirst:
+            yd = proxg.proxdual(yd + mu * a_op.matvec(xbar), mu)
+            x = proxf.prox(x_old - tau * a_op.rmatvec(yd), tau)
+            xbar = x + theta * (x - x_old)
+        else:
+            x = proxf.prox(x_old - tau * a_op.rmatvec(yd), tau)
+            xbar = x + theta * (x - x_old)
+            yd = proxg.proxdual(yd + mu * a_op.matvec(xbar), mu)
+        traj.append(np.asarray(x))
+    return x, yd, traj
+
+
+class TestSupported:
+    def test_gating(self):
+        img, blur, y, sigma, tau, mu = _problem()
+        for which in ("tv", "mctv", "metv"):
+            proxf, proxg = _terms(which, blur, y, sigma)
+            assert ulpda_fused_supported(
+                proxf, proxg, Gradient2D(), img.shape, img.dtype
+            ) == ON_TPU  # sep_fused_supported requires the TPU backend
+        proxf, proxg = _terms("tv", blur, y, sigma)
+        assert not ulpda_fused_supported(proxf, proxg, blur, img.shape,
+                                         img.dtype)
+
+
+class TestDeterministicParity:
+    """noise off, interpret mode, solver sweeps cranked up: the fused step must
+    track the exact-solve recursion to CG tolerance."""
+
+    @pytest.mark.parametrize("which", ["tv", "mctv", "metv"])
+    @pytest.mark.parametrize("gfirst", [False, True])
+    def test_multi_step(self, which, gfirst):
+        img, blur, y, sigma, tau, mu = _problem()
+        proxf, proxg = _terms(which, blur, y, sigma)
+        a_op = Gradient2D()
+        x0 = y
+
+        want_x, want_y, _ = _reference_steps(
+            proxf, proxg, a_op, x0, tau, mu, 4, gfirst
+        )
+        fused = ulpda_sep_fused(
+            proxf, proxg, a_op, tau=tau, mu=mu, theta=1.0, gfirst=gfirst,
+            niter_solve=30, noise_scale=0.0, interpret=not ON_TPU,
+        )
+        st = fused.init(x0)
+        for i in range(4):
+            st, _ = fused.step(st, jax.random.PRNGKey(i))
+        scale = max(1.0, float(jnp.abs(want_x).max()))
+        np.testing.assert_allclose(
+            np.asarray(st.position), np.asarray(want_x), atol=2e-4 * scale
+        )
+        # the pre-projection dual inherits the primal's absolute CG error
+        # (image values are O(100)), so its tolerance scales with the primal
+        np.testing.assert_allclose(
+            np.asarray(st.extras.y), np.asarray(want_y),
+            atol=2e-5 * scale,
+        )
+
+    def test_block_driver_matches_recursion_and_welford(self):
+        img, blur, y, sigma, tau, mu = _problem()
+        proxf, proxg = _terms("tv", blur, y, sigma)
+        a_op = Gradient2D()
+        x0 = y
+        res = run_ulpda_fused(
+            proxf, proxg, a_op, tau, mu, x0, jax.random.PRNGKey(3), 6,
+            block=3, noise_scale=0.0, burn_in=2, niter_solve=30,
+            interpret=not ON_TPU,
+        )
+        want_x, _, traj = _reference_steps(
+            proxf, proxg, a_op, x0, tau, mu, 6, gfirst=False
+        )
+        scale = max(1.0, float(jnp.abs(want_x).max()))
+        np.testing.assert_allclose(
+            np.asarray(res.final_state.position), np.asarray(want_x),
+            atol=2e-4 * scale,
+        )
+        assert int(res.moments.count) == 4
+        np.testing.assert_allclose(
+            np.asarray(res.moments.mean), np.mean(traj[2:], axis=0),
+            atol=2e-4 * scale,
+        )
+
+    def test_cg_solve_quality_at_production_trips(self):
+        """At the production trip count (8) the CG gram solve matches the
+        exact spectral solve to f32 accuracy after one step."""
+        img, blur, y, sigma, tau, mu = _problem()
+        proxf, proxg = _terms("tv", blur, y, sigma)
+        a_op = Gradient2D()
+        want_x, _, _ = _reference_steps(
+            proxf, proxg, a_op, y, tau, mu, 1, gfirst=False
+        )
+        fused = ulpda_sep_fused(
+            proxf, proxg, a_op, tau=tau, mu=mu, niter_solve=12,
+            noise_scale=0.0, interpret=not ON_TPU,
+        )
+        st, _ = fused.step(fused.init(y), jax.random.PRNGKey(0))
+        err = float(
+            jnp.abs(st.position - want_x).max() / jnp.abs(want_x).max()
+        )
+        assert err < 5e-5, err
