@@ -152,3 +152,60 @@ class TestDeterministicParity:
             jnp.abs(st.position - want_x).max() / jnp.abs(want_x).max()
         )
         assert err < 5e-5, err
+
+
+@pytest.mark.skipif(not ON_TPU, reason="on-core PRNG needs a real TPU")
+class TestFusedUlpdaNoiseTPU:
+    def test_noise_statistics(self):
+        """niter_solve=0 warm-starts at x=0 and the dual radius is 0, so the
+        step output is exactly sqrt(2 tau) xi — KS vs N(0,1)."""
+        from scipy import stats
+
+        from lmc_atomi_tpu.kernels.ulpda_fused import ulpda_block_update
+
+        n, tau = 256, 0.5
+        zeros = jnp.zeros((n, n), jnp.float32)
+        dummy = jnp.zeros((1, 1), jnp.float32)
+        scal_f = jnp.asarray(
+            [tau, 1.0, 1.0, 1.0, 1.0, 0.0, 0.0, 1.0], jnp.float32
+        )
+        scal_i = jnp.zeros((3,), jnp.int32)
+        out, _, _, _, _, _ = ulpda_block_update(
+            zeros, zeros, zeros, dummy, zeros, zeros, zeros,
+            jnp.asarray([7, 3], jnp.int32), scal_f, scal_i,
+            taps=(((1.0,), (1.0,)),), oy=0, ox=0, lam=1.0, n_steps=1,
+            niter_solve=0, with_noise=True, with_stats=True,
+        )
+        xi = np.asarray(out).ravel() / np.sqrt(2 * tau)
+        assert abs(xi.mean()) < 0.02
+        assert abs(xi.std() - 1.0) < 0.02
+        ks = stats.kstest(xi[::7][:8192], "norm")
+        assert ks.pvalue > 1e-3, f"KS p={ks.pvalue}"
+
+    def test_psnr_parity_with_threefry_path(self):
+        """Posterior-mean PSNR of the fused noisy ULPDA chain within 0.15 dB
+        of the unfused threefry path (equivalent-but-distinct streams)."""
+        from lmc_atomi_tpu.eval.metrics import psnr
+        from lmc_atomi_tpu.kernels import ulpda
+        from lmc_atomi_tpu.run.runner import run_chain
+
+        img, blur, y, sigma, tau_ref, mu = _problem(n=256)
+        proxf, proxg = _terms("tv", blur, y, sigma)
+        a_op = Gradient2D()
+        steps = 10000
+        x0 = jnp.zeros_like(img)
+        res_f = jax.jit(
+            lambda x, k: run_ulpda_fused(
+                proxf, proxg, a_op, tau_ref, mu, x, k, steps, block=250,
+                burn_in=1000,
+            )
+        )(x0, jax.random.PRNGKey(1))
+        kern = ulpda(proxf, proxg, a_op, tau=tau_ref, mu=mu)
+        res_u = jax.jit(
+            lambda x, k: run_chain(
+                kern, x, k, steps, collect="stats", burn_in=1000
+            )
+        )(x0, jax.random.PRNGKey(1))
+        p_f = float(psnr(img, res_f.moments.mean))
+        p_u = float(psnr(img, res_u.moments.mean))
+        assert abs(p_f - p_u) < 0.15, (p_f, p_u)
