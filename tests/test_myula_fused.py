@@ -125,6 +125,77 @@ class TestDeterministicParity:
         )
 
 
+class TestWarmTV:
+    """tv_warm carries the Chambolle dual across steps: the fused chain must
+    match a NumPy replica of the warm recursion (noise off), and warm-5 must
+    land within prox-error distance of the cold-10 chain."""
+
+    def test_matches_numpy_warm_recursion(self):
+        img, blur, y, l2, tau, gamma = _problem()
+        tvg = 0.3 * gamma
+        x0 = jnp.zeros_like(img)
+        res = run_myula_tv_fused(
+            l2, 0.3, tau, gamma, x0, jax.random.PRNGKey(3), 6,
+            block=6, niter_tv=3, noise_scale=0.0, tv_warm=True,
+            interpret=not ON_TPU,
+        )
+
+        def grad2d(a):
+            dy = np.zeros_like(a); dy[:-1] = a[1:] - a[:-1]
+            dx = np.zeros_like(a); dx[:, :-1] = a[:, 1:] - a[:, :-1]
+            return dy, dx
+
+        def div2d(py, px):
+            o = py - np.roll(py, 1, 0); o[0] = py[0]; o[-1] = -py[-2]
+            b = px - np.roll(px, 1, 1); b[:, 0] = px[:, 0]
+            b[:, -1] = -px[:, -2]
+            return o + b
+
+        def prox_tv_warm(a, g, niter, p0):
+            py, px = p0
+            for _ in range(niter):
+                u = div2d(py, px) - a / g
+                gy, gx = grad2d(u)
+                mag = np.sqrt(gy * gy + gx * gx)
+                py = (py + 0.25 * gy) / (1 + 0.25 * mag)
+                px = (px + 0.25 * gx) / (1 + 0.25 * mag)
+            return a - g * div2d(py, px), (py, px)
+
+        x = np.zeros(img.shape, np.float64)
+        dual = (np.zeros_like(x), np.zeros_like(x))
+        for _ in range(6):
+            p, dual = prox_tv_warm(x, tvg, 3, dual)
+            x = (
+                (1 - tau / gamma) * x
+                - tau * np.asarray(l2.grad(jnp.asarray(x, jnp.float32)),
+                                   np.float64)
+                + (tau / gamma) * p
+            )
+        np.testing.assert_allclose(
+            np.asarray(res.final_state.position), x,
+            atol=3e-4 * max(1.0, np.abs(x).max()),
+        )
+
+    def test_warm5_close_to_cold10(self):
+        img, blur, y, l2, tau, gamma = _problem()
+        x0 = jnp.zeros_like(img)
+        cold = run_myula_tv_fused(
+            l2, 0.3, tau, gamma, x0, jax.random.PRNGKey(3), 20,
+            block=10, niter_tv=10, noise_scale=0.0, interpret=not ON_TPU,
+        )
+        warm = run_myula_tv_fused(
+            l2, 0.3, tau, gamma, x0, jax.random.PRNGKey(3), 20,
+            block=10, niter_tv=5, noise_scale=0.0, tv_warm=True,
+            interpret=not ON_TPU,
+        )
+        scale = max(1.0, float(jnp.abs(cold.final_state.position).max()))
+        err = float(
+            jnp.abs(warm.final_state.position - cold.final_state.position)
+            .max()
+        )
+        assert err < 2e-3 * scale, err
+
+
 class TestNonconvexParity:
     """Fused MC-TV / ME-TV data-term gradients (isotropic L2NcvxTV) must
     match the unfused XLA kernel step exactly (noise off, interpret mode)."""
