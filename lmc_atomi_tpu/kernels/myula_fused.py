@@ -281,14 +281,19 @@ def _block_kernel(
         return x_new, mean, m2
 
     def step_body(i, carry):
-        # NOTE: carrying the sin variate to the next step (one Box-Muller
-        # per TWO steps) exceeds the 16MB VMEM budget at 512^2 — the extra
-        # live field costs more than the ~3us/step it saves.
         if with_noise:
             xi, _ = _box_muller2(x.shape, dtype, pltpu)
         else:
             xi = None
         return one_step(i, carry, xi)
+
+    def pair_body(j, carry):
+        # one Box-Muller per TWO steps: the cos AND sin variates are both
+        # consumed, halving the ~8us/step PRNG+transcendental cost (the
+        # extra live field needs the raised scoped-VMEM limit at 512^2)
+        xi1, xi2 = _box_muller2(x.shape, dtype, pltpu)
+        carry = one_step(2 * j, carry, xi1)
+        return one_step(2 * j + 1, carry, xi2)
 
     if with_stats:
         mean0, m20 = mean_ref[:], m2_ref[:]
@@ -298,13 +303,14 @@ def _block_kernel(
         # dual warm start is per-launch: cold zeros on the first step of the
         # block, then carried across the block's steps
         zero = jnp.zeros_like(x)
-        x, mean, m2, _, _ = jax.lax.fori_loop(
-            0, n_steps, step_body, (x, mean0, m20, zero, zero)
-        )
+        carry0 = (x, mean0, m20, zero, zero)
     else:
-        x, mean, m2 = jax.lax.fori_loop(
-            0, n_steps, step_body, (x, mean0, m20)
-        )
+        carry0 = (x, mean0, m20)
+    if with_noise and n_steps % 2 == 0:
+        out = jax.lax.fori_loop(0, n_steps // 2, pair_body, carry0)
+    else:
+        out = jax.lax.fori_loop(0, n_steps, step_body, carry0)
+    x, mean, m2 = out[:3]
     xo_ref[:] = x
     if with_stats:
         meano_ref[:] = mean

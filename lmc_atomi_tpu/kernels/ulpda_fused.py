@@ -201,20 +201,29 @@ def _ulpda_kernel(
             xi = None
         return one_step(i, carry, xi)
 
+    def pair_body(j, carry):
+        # one Box-Muller per TWO steps (cos and sin variates both consumed)
+        xi1, xi2 = _box_muller2(x.shape, dtype, pltpu)
+        carry = one_step(2 * j, carry, xi1)
+        return one_step(2 * j + 1, carry, xi2)
+
     if with_stats:
         mean0, m20 = mean_ref[:], m2_ref[:]
     else:
         mean0 = m20 = jnp.zeros((1, 1), dtype)
     if gfirst:
         carry0 = (x, py, px, xb_ref[:], mean0, m20)
-        x, py, px, xbar, mean, m2 = jax.lax.fori_loop(
-            0, n_steps, step_body, carry0
-        )
+    else:
+        carry0 = (x, py, px, mean0, m20)
+    if with_noise and n_steps % 2 == 0:
+        out = jax.lax.fori_loop(0, n_steps // 2, pair_body, carry0)
+    else:
+        out = jax.lax.fori_loop(0, n_steps, step_body, carry0)
+    if gfirst:
+        x, py, px, xbar, mean, m2 = out
     else:
         xbar = None
-        x, py, px, mean, m2 = jax.lax.fori_loop(
-            0, n_steps, step_body, (x, py, px, mean0, m20)
-        )
+        x, py, px, mean, m2 = out
     xo_ref[:] = x
     pyo_ref[:] = py
     pxo_ref[:] = px
