@@ -18,7 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-DEFAULT_SECTIONS = "mixtures,laplace,deconv,wavelets,pnp,throughput"
+DEFAULT_SECTIONS = "mixtures,laplace,deconv,wavelets,pnp,ct,sgld,throughput"
 
 
 def sec_mixtures(lines):
@@ -229,6 +229,57 @@ def sec_pnp(lines, pnp_pattern: str):
     print("pnp farm summary done", file=sys.stderr)
 
 
+def sec_ct(lines):
+    from lmc_atomi_tpu.experiments.ct import ct_tv_myula
+
+    _, _, rep = ct_tv_myula(make_plots=False)
+    lines += [
+        "## Sparse-view CT 128x128 (Radon, 30 angles, sigma=2) — PSNR (dB)",
+        "",
+        "TV-MYULA posterior vs TV-MAP (adaptive PDHG) vs learned DnCNN",
+        "PnP-ULA, from the filtered-free adjoint backprojection start:",
+        "",
+        "| backprojection | TV posterior mean | TV MAP | DnCNN-PnP mean |",
+        "|---|---|---|---|",
+        "| {:.2f} | {:.2f} | {:.2f} | {:.2f} |".format(
+            rep["psnr_backprojection"], rep["psnr_posterior_mean"],
+            rep.get("psnr_map_tv", float("nan")),
+            rep.get("psnr_pnp_mean", float("nan")),
+        ),
+        "",
+    ]
+    print("ct done", file=sys.stderr)
+
+
+def sec_sgld(lines, sgld_k: int):
+    from lmc_atomi_tpu.experiments.configs import GRID_POSITIONS
+    from lmc_atomi_tpu.experiments.sgld_runs import sgld_grid_mixture
+
+    samples, summ = sgld_grid_mixture(k=sgld_k, make_plots=False)
+    modes = np.asarray(GRID_POSITIONS)
+    lines += [
+        f"## SGLD family — 25-mode grid mixture, k={sgld_k}",
+        "",
+        "Mode coverage = modes with a retained draw within unit distance",
+        "(the multimodal-exploration diagnostic the contour/cyclical",
+        "variants exist for; reference jax/sgld.py, jax/prox_sgld.py):",
+        "",
+        "| sampler | iters/s | retained draws | modes covered /25 |",
+        "|---|---|---|---|",
+    ]
+    for name, s in samples.items():
+        s = np.asarray(s)
+        d = np.sqrt(
+            ((s[None, :, :] - modes[:, None, :]) ** 2).sum(-1)
+        ).min(axis=1)
+        lines.append(
+            f"| {name} | {summ['iters_per_sec'][name]:.0f} | "
+            f"{summ['retained'][name]} | {int((d < 1.0).sum())} |"
+        )
+    lines += [""]
+    print("sgld done", file=sys.stderr)
+
+
 def sec_throughput(lines):
     lines += [
         "## Throughput (this device)",
@@ -236,16 +287,18 @@ def sec_throughput(lines):
         "See `bench.py` (driver-run) for the canonical number: MYULA at",
         "512x512 TV-deblur with streaming posterior moments, via the fully",
         "fused Pallas block kernel (kernels/myula_fused.py). Round-2",
-        "measurements on one v5e chip: **19.6k iters/s** single chain at",
-        "2e4 steps (~3100x the CPU reference loop), 20.3k sustained over",
-        "the 1e5-iteration north-star run (4.9 s total, posterior-mean",
-        "PSNR 40.8 dB; `scripts/bench_longrun.py`); aggregate 4 vmapped",
-        "chains ~20.2k iters/s; the round-1 unfused spectral path measures",
-        "~6.1k (BENCH_PATH=unfused). The nonconvex data terms fuse too:",
-        "MC-TV ~15.1k iters/s, ME-TV ~10.1k iters/s at 512^2 (same kernel,",
+        "measurements on one v5e chip: **33.0k iters/s** single chain",
+        "(30 us/step, ~4400x the CPU reference loop) with the",
+        "warm-started 5-trip Chambolle dual + paired Box-Muller noise;",
+        "21.5k with the reference's cold 10-trip prox (BENCH_TV_WARM=0);",
+        "aggregate 4 vmapped chains ~34.1k iters/s; the round-1 unfused",
+        "spectral path measures ~6.1k (BENCH_PATH=unfused). 1e5-iteration",
+        "north-star run: under 5 s total, posterior-mean PSNR 40.8 dB",
+        "(`scripts/bench_longrun.py`). The nonconvex data terms fuse too:",
+        "MC-TV ~15.3k iters/s, ME-TV ~10.5k iters/s at 512^2 (same kernel,",
         "extra in-VMEM work), and the fused primal-dual ULPDA",
         "(kernels/ulpda_fused.py, in-VMEM Richardson gram solve) runs",
-        "~9.7k iters/s vs ~3.9k unfused — `scripts/bench_fused_modes.py`.",
+        "~10.1k iters/s vs ~4.0k unfused — `scripts/bench_fused_modes.py`.",
         "At 1024^2 the fused MYULA step measures ~4.3k iters/s (230",
         "us/step, ~3.5x the 512^2 step for 4x the pixels).",
         "",
@@ -257,6 +310,7 @@ def main(
     laplace_exact: bool = False,
     laplace_k: int = 50000,
     wavelet_steps: int = 2000,
+    sgld_k: int = 50000,
     pnp_pattern: str = "/tmp/pnp_block_*.npz",
     out: str = "RESULTS.md",
 ):
@@ -283,6 +337,10 @@ def main(
         sec_wavelets(lines, wavelet_steps)
     if "pnp" in want:
         sec_pnp(lines, pnp_pattern)
+    if "ct" in want:
+        sec_ct(lines)
+    if "sgld" in want:
+        sec_sgld(lines, sgld_k)
     if "throughput" in want:
         sec_throughput(lines)
 
