@@ -233,8 +233,12 @@ def _block_kernel(
 
     noise_amp = noise_scale * jnp.sqrt(2.0 * tau)
 
+    warm_env = tv_warm and mode == "metv"
+
     def one_step(i, carry, xi):
-        if tv_warm:
+        if warm_env:
+            x, mean, m2, tpy, tpx, epy, epx = carry
+        elif tv_warm:
             x, mean, m2, tpy, tpx = carry
         else:
             x, mean, m2 = carry
@@ -251,7 +255,13 @@ def _block_kernel(
             grad = grad + lamda * div(clamp * gy, clamp * gx)
         elif mode == "metv":
             # ME-TV concave term: grad f -= lamda * (x - prox_{gamma TV}x)/gamma
-            p = _tv_prox(x, gamma_mc, masks, niter_inner, tv_step, pltpu)
+            if warm_env:
+                p, (epy, epx) = _tv_prox(
+                    x, gamma_mc, masks, niter_inner, tv_step, pltpu,
+                    p0=(epy, epx), return_dual=True,
+                )
+            else:
+                p = _tv_prox(x, gamma_mc, masks, niter_inner, tv_step, pltpu)
             grad = grad - (lamda / gamma_mc) * (x - p)
         if tv_warm:
             tvprox, (tpy, tpx) = _tv_prox(
@@ -276,6 +286,8 @@ def _block_kernel(
             delta = x_new - mean
             mean = mean + wf * delta / denom
             m2 = m2 + wf * delta * (x_new - mean)
+        if warm_env:
+            return x_new, mean, m2, tpy, tpx, epy, epx
         if tv_warm:
             return x_new, mean, m2, tpy, tpx
         return x_new, mean, m2
@@ -304,6 +316,8 @@ def _block_kernel(
         # block, then carried across the block's steps
         zero = jnp.zeros_like(x)
         carry0 = (x, mean0, m20, zero, zero)
+        if warm_env:
+            carry0 = carry0 + (zero, zero)
     else:
         carry0 = (x, mean0, m20)
     if with_noise and n_steps % 2 == 0:

@@ -60,6 +60,20 @@ def main(n=512, steps=4000, block=500):
                 )
             ),
         )
+        # warm-started Chambolle duals (main + ME-TV envelope) at half the
+        # trips — same order of prox error, see run_myula_tv_fused docstring
+        warm_term = (
+            term.replace(niter_inner=5) if name == "metv" else term
+        )
+        bench(
+            f"myula-{name}-warm5",
+            jax.jit(
+                lambda x, k, t=warm_term: run_myula_tv_fused(
+                    t, 0.3, tau, gamma, x, k, steps, block=block,
+                    niter_tv=5, tv_warm=True,
+                )
+            ),
+        )
 
     # ULPDA: fused CG-solve kernel vs the unfused spectral-solve XLA path
     tau0 = 0.95 / sigma
