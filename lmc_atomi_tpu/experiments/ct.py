@@ -51,7 +51,7 @@ def ct_tv_myula(
     from lmc_atomi_tpu.ops.functionals import L2Data, TVNorm
     from lmc_atomi_tpu.ops.linops import LinOp
     from lmc_atomi_tpu.ops.radon import Radon2D
-    from lmc_atomi_tpu.run.runner import run_chain_jit
+    from lmc_atomi_tpu.run.runner import run_chain_segmented
     from lmc_atomi_tpu.utils.images import phantom
 
     from lmc_atomi_tpu.utils import default_real_dtype
@@ -78,8 +78,10 @@ def ct_tv_myula(
 
     kern = myula_imaging(l2, tv, tau=tau_step, gamma=gamma)
     t0 = time.perf_counter()
-    res = run_chain_jit(kern, x0, jax.random.fold_in(key, 2), n_steps,
-                        collect="stats", burn_in=burn_in)
+    # segmented executions: the Radon step is expensive and reference step
+    # counts in ONE device execution exceed the tunneled runtime's limit
+    res = run_chain_segmented(kern, x0, jax.random.fold_in(key, 2), n_steps,
+                              burn_in=burn_in)
     jax.block_until_ready(res.moments.mean)
     dt = time.perf_counter() - t0
 
@@ -127,8 +129,9 @@ def ct_tv_myula(
             l2.grad, denoiser, tau=0.5 / lips_pnp, eps=eps,
             alpha=pnp_alpha, box=(-1.0, 2.0),
         )
-        res_pnp = run_chain_jit(kern_pnp, x0, jax.random.fold_in(key, 4),
-                                n_steps, collect="stats", burn_in=burn_in)
+        res_pnp = run_chain_segmented(kern_pnp, x0,
+                                      jax.random.fold_in(key, 4),
+                                      n_steps, burn_in=burn_in)
         jax.block_until_ready(res_pnp.moments.mean)
         pnp_mean = np.asarray(res_pnp.moments.mean)
         report["psnr_pnp_mean"] = float(

@@ -23,7 +23,7 @@ from lmc_atomi_tpu.core.random import as_key, step_key
 from lmc_atomi_tpu.core.stats import RunningMoments
 from lmc_atomi_tpu.kernels.base import Kernel
 
-__all__ = ["run_resumable"]
+__all__ = ["run_resumable", "run_resumable_fused"]
 
 
 def run_resumable(
@@ -104,6 +104,75 @@ def run_resumable(
                 f"{int(bundle['done']) - segment_steps} steps"
                 + (f" in {ckpt_path}" if ckpt_path else "")
             )
+        if ckpt_path:
+            save_checkpoint(ckpt_path, bundle)
+        if progress is not None:
+            progress(int(bundle["done"]), bundle)
+    return bundle
+
+
+def run_resumable_fused(
+    l2,
+    tv_sigma: float,
+    tau,
+    gamma,
+    x0,
+    key,
+    total_steps: int,
+    segment_steps: int,
+    ckpt_path: Optional[str] = None,
+    burn_in: int = 0,
+    progress: Optional[Callable[[int, dict], None]] = None,
+    **fused_kwargs,
+):
+    """Checkpointed long MYULA runs on the block-fused TPU path.
+
+    Same bundle/checkpoint/failure-detection contract as
+    :func:`run_resumable`, but each segment is ONE
+    ``run_myula_tv_fused`` call (the image stays in VMEM across the
+    segment's steps), so a checkpointed 1e5-step run costs nearly the same
+    as the monolithic one. Per-segment PRNG keys are folds of the base key
+    by the global segment index, so a preempted run resumes bit-identically
+    (re-running an interrupted segment reproduces the same draws).
+    Per-segment moments merge into the bundle via the exact Chan et al.
+    parallel-Welford combine.
+    """
+    from lmc_atomi_tpu.kernels.myula_fused import run_myula_tv_fused
+
+    key = as_key(key)
+    x0 = jnp.asarray(x0)
+    bundle = {
+        "position": x0,
+        "moments": RunningMoments.init(x0),
+        "key": key,
+        "done": jnp.zeros((), jnp.int32),
+    }
+    if ckpt_path and os.path.exists(ckpt_path):
+        bundle = restore_checkpoint(ckpt_path, bundle)
+
+    while int(bundle["done"]) < total_steps:
+        done = int(bundle["done"])
+        n = min(segment_steps, total_steps - done)
+        seg_burn = min(max(burn_in - done, 0), n)
+        res = run_myula_tv_fused(
+            l2, tv_sigma, tau, gamma, bundle["position"],
+            step_key(bundle["key"], done // segment_steps), n,
+            burn_in=seg_burn, **fused_kwargs,
+        )
+        pos = res.final_state.position
+        jax.block_until_ready(pos)
+        if not bool(jnp.isfinite(pos).all()):
+            raise FloatingPointError(
+                f"chain diverged (non-finite position) before step "
+                f"{done + n}; last checkpoint at {done} steps"
+                + (f" in {ckpt_path}" if ckpt_path else "")
+            )
+        bundle = {
+            "position": pos,
+            "moments": bundle["moments"].merge(res.moments),
+            "key": bundle["key"],
+            "done": bundle["done"] + n,
+        }
         if ckpt_path:
             save_checkpoint(ckpt_path, bundle)
         if progress is not None:

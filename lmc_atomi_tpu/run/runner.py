@@ -206,6 +206,60 @@ def run_chains(
     return jax.vmap(one)(x0, keys)
 
 
+def run_chain_segmented(
+    kernel: Kernel,
+    x0,
+    key,
+    n_steps: int,
+    *,
+    segment_steps: int = 250,
+    burn_in: int = 0,
+    init_args: tuple = (),
+) -> ChainResult:
+    """``run_chain(collect='stats')`` split into bounded device executions.
+
+    The tunneled TPU runtime kills single executions running much past a
+    minute; expensive-step chains (Radon data terms, PnP denoiser priors)
+    at reference step counts exceed that in one scan. This runner executes
+    ``segment_steps``-sized jitted segments in a host loop, carrying the
+    sampler state (and its global step counter) across segments — per-step
+    keys fold ``state.step``, so the draws, the burn-in weights, and the
+    streaming Welford moments are bit-identical to the single-execution
+    ``run_chain``.
+    """
+    import functools
+
+    key = as_key(key)
+    state = kernel.init(x0, *init_args)
+    moments = RunningMoments.init(state.position)
+    block = _emit_block(kernel, key, 1)
+
+    @functools.partial(jax.jit, static_argnames="ns")
+    def seg(state, moments, done, ns):
+        def body(carry, i):
+            st, mom = carry
+            st, _ = block(st, i)
+            w = ((done + i) >= burn_in).astype(jnp.int32)
+            mom = mom.update(st.position, weight=w)
+            return (st, mom), None
+
+        (st, mom), _ = jax.lax.scan(
+            body, (state, moments), jnp.arange(ns)
+        )
+        return st, mom
+
+    done = 0
+    while done < n_steps:
+        ns = min(segment_steps, n_steps - done)
+        state, moments = seg(state, moments, jnp.asarray(done, jnp.int32), ns)
+        jax.block_until_ready(state.position)
+        done += ns
+    return ChainResult(
+        final_state=state, samples=None, infos=None, metrics=None,
+        moments=moments, quantiles=None,
+    )
+
+
 def run_chain_jit(kernel, x0, key, n_steps, **kwargs):
     """``run_chain`` under an outer ``jax.jit``.
 

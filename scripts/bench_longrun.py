@@ -46,7 +46,22 @@ print(
     f"psnr={float(psnr(img, o.moments.mean)):.2f}"
 )
 
-# 2. checkpointed longrun with the fused single-step kernel
+# 2. checkpointed longrun: block-fused segments (run_resumable_fused)
+from lmc_atomi_tpu.run.longrun import run_resumable_fused
+
+with tempfile.TemporaryDirectory() as d:
+    t0 = time.perf_counter()
+    b = run_resumable_fused(
+        l2, 0.3, tau, gamma, x0, jax.random.PRNGKey(1), 100000, 20000,
+        ckpt_path=os.path.join(d, "ck.msgpack"), block=500,
+    )
+    dt = time.perf_counter() - t0
+print(
+    f"longrun block-fused 1e5 iters (5 ckpt segments): {dt:.1f}s, "
+    f"psnr={float(psnr(img, b['moments'].mean)):.2f}"
+)
+
+# 3. checkpointed longrun with the fused single-step kernel (generic driver)
 kern = myula_imaging_sep_fused(l2, 0.3, tau, gamma)
 with tempfile.TemporaryDirectory() as d:
     t0 = time.perf_counter()
@@ -56,6 +71,6 @@ with tempfile.TemporaryDirectory() as d:
     )
     dt = time.perf_counter() - t0
 print(
-    f"longrun fused 1e5 iters (5 ckpt segments): {dt:.1f}s, "
+    f"longrun stepwise-fused 1e5 iters (5 ckpt segments): {dt:.1f}s, "
     f"psnr={float(psnr(img, b['moments'].mean)):.2f}"
 )

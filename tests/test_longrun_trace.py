@@ -47,6 +47,52 @@ def test_resumable_matches_uninterrupted(tmp_path):
     assert int(resumed["done"]) == 120
 
 
+def test_resumable_fused_matches_uninterrupted(tmp_path):
+    """Fused-segment long runs resume bit-identically (interpret mode)."""
+    from lmc_atomi_tpu.ops.functionals import L2Data
+    from lmc_atomi_tpu.ops.linops import CirculantBlur2D, uniform_kernel
+    from lmc_atomi_tpu.run.longrun import run_resumable_fused
+    from lmc_atomi_tpu.utils.images import phantom
+
+    n = 32
+    img = jnp.asarray(phantom(n), jnp.float32)
+    blur = CirculantBlur2D.from_kernel((n, n), uniform_kernel(5, jnp.float32))
+    y = jax.jit(
+        lambda im, k: blur.matvec(im)
+        + 0.75 * jax.random.normal(k, (n, n), jnp.float32)
+    )(img, jax.random.PRNGKey(0))
+    l2 = L2Data.create(op=blur, b=y, sigma=1 / 0.75**2)
+    gamma = 0.75**2
+    tau = 0.2 * gamma
+    kw = dict(noise_scale=0.0, interpret=True, block=4)
+    key = jax.random.PRNGKey(1)
+    x0 = jnp.zeros((n, n), jnp.float32)
+
+    straight = run_resumable_fused(
+        l2, 0.3, tau, gamma, x0, key, total_steps=24, segment_steps=8,
+        burn_in=4, **kw
+    )
+    ckpt = str(tmp_path / "fused.ckpt")
+    run_resumable_fused(
+        l2, 0.3, tau, gamma, x0, key, total_steps=8, segment_steps=8,
+        burn_in=4, ckpt_path=ckpt, **kw
+    )
+    assert os.path.exists(ckpt)
+    resumed = run_resumable_fused(
+        l2, 0.3, tau, gamma, x0, key, total_steps=24, segment_steps=8,
+        burn_in=4, ckpt_path=ckpt, **kw
+    )
+    np.testing.assert_array_equal(
+        np.asarray(resumed["position"]), np.asarray(straight["position"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(resumed["moments"].mean),
+        np.asarray(straight["moments"].mean), rtol=1e-6,
+    )
+    assert int(resumed["done"]) == 24
+    assert int(resumed["moments"].count) == 20
+
+
 def test_should_log_policy():
     rows = [i for i in range(100) if should_log(i, 100)]
     assert set(range(10)).issubset(rows)  # first 10

@@ -56,6 +56,31 @@ def test_ulpda_state_checkpoint_roundtrip(tmp_path):
     assert int(restored["state"].step) == 7
 
 
+def test_run_chain_segmented_bit_identical():
+    """Segmented executions (bounded per-execution runtime) must reproduce
+    the monolithic scan exactly: keys fold the global state.step carried
+    across segments, and burn-in weights use the global index."""
+    from lmc_atomi_tpu.kernels import ula
+    from lmc_atomi_tpu.models import GaussianMixture
+    from lmc_atomi_tpu.run.runner import run_chain, run_chain_segmented
+
+    mus = np.array([[0.0, 0.0], [3.0, 3.0]])
+    sig = np.stack([np.eye(2)] * 2)
+    gm = GaussianMixture.create(mus, sig, np.ones(2) / 2)
+    kern = ula(gm.grad_potential, 0.05)
+    x0 = jnp.zeros(2)
+    key = jax.random.PRNGKey(0)
+    a = run_chain(kern, x0, key, 60, collect="stats", burn_in=13)
+    b = run_chain_segmented(kern, x0, key, 60, segment_steps=17, burn_in=13)
+    np.testing.assert_array_equal(
+        np.asarray(a.final_state.position), np.asarray(b.final_state.position)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a.moments.mean), np.asarray(b.moments.mean)
+    )
+    assert int(a.moments.count) == int(b.moments.count)
+
+
 def test_run_chains_batched_initial_positions():
     from lmc_atomi_tpu.kernels import ula
     from lmc_atomi_tpu.run.runner import run_chains
