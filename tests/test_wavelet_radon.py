@@ -55,6 +55,27 @@ def test_radon_adjoint_exact():
     np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-10)
 
 
+def test_radon_dense_matches_gather():
+    """The precomputed bilinear-footprint matrix is the exact linear
+    representation of the map_coordinates projector (both directions)."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(24, 24)))
+    dense = Radon2D.create((24, 24), n_angles=12, dtype=jnp.float64,
+                           dense=True)
+    gather = Radon2D.create((24, 24), n_angles=12, dtype=jnp.float64,
+                            dense=False)
+    assert dense.dense is not None and gather.dense is None
+    np.testing.assert_allclose(
+        np.asarray(dense.matvec(x)), np.asarray(gather.matvec(x)),
+        atol=1e-10,
+    )
+    sino = jnp.asarray(rng.normal(size=(12, 24)))
+    np.testing.assert_allclose(
+        np.asarray(dense.rmatvec(sino)), np.asarray(gather.rmatvec(sino)),
+        atol=1e-10,
+    )
+
+
 def test_radon_mass_preservation():
     # each projection of a centered blob integrates to (about) the blob mass
     op = Radon2D.create((33, 33), n_angles=8, dtype=jnp.float64)
