@@ -222,6 +222,7 @@ def csgld(
     lr_schedule=1e-3,
     sa_schedule=None,
     prox_fn: Optional[Callable] = None,
+    mult_clip: float = 100.0,
 ) -> Kernel:
     """Contour SGLD (Deng et al. 2020; the blackjax.csgld kernel driven at
     reference jax/sgld.py:329-394).
@@ -237,6 +238,17 @@ def csgld(
     ``sa_schedule`` defaults to the reference's min(1e-2,(k+100)^-0.8)
     (jax/sgld.py:372). ``prox_fn`` composes contour-proximal SGLD
     (jax/prox_sgld.py:421-491).
+
+    ``mult_clip`` bounds the drift multiplier (documented stabilization,
+    not in Deng et al.): as the learned pdf sharpens, the log-pdf
+    difference between adjacent bins grows without bound and the
+    amplified drift ``lr * mult * grad`` can enter a tail-escape feedback
+    loop — measured to NaN the 25-mode-grid contour-proximal chain
+    between 5k and 50k steps at the reference hyperparameters (f64 and
+    f32 alike; the reference's own contourSPGLD main is unrunnable,
+    SURVEY.md C23, so it never hit this). The clip caps the multiplier
+    magnitude while preserving its sign — the bouncy out-of-mode moves
+    that make CSGLD explore.
     """
     if sa_schedule is None:
         sa_schedule = lambda step: jnp.minimum(1e-2, (step + 100.0) ** (-0.8))
@@ -264,6 +276,7 @@ def csgld(
         )
         log_pdf = jnp.log(jnp.maximum(pdf, 1e-30))
         mult = 1.0 + zeta * temperature * (log_pdf[j] - log_pdf[j - 1]) / energy_gap
+        mult = jnp.clip(mult, -mult_clip, mult_clip)
         x_new = x + lr * mult * grad_fn(x) + jnp.sqrt(2 * lr * temperature) * xi
         if prox_fn is not None:
             x_new = prox_fn(x_new)

@@ -256,7 +256,8 @@ def sec_sgld(lines, sgld_k: int):
     from lmc_atomi_tpu.experiments.sgld_runs import sgld_grid_mixture
 
     samples, summ = sgld_grid_mixture(k=sgld_k, make_plots=False)
-    modes = np.asarray(GRID_POSITIONS)
+    g = np.asarray(GRID_POSITIONS)
+    modes = np.stack(np.meshgrid(g, g), -1).reshape(-1, 2)  # 25 modes
     lines += [
         f"## SGLD family — 25-mode grid mixture, k={sgld_k}",
         "",

@@ -95,6 +95,27 @@ def test_csgld_adapts_and_stays_finite():
     assert out.ndim == 2 and out.shape[-1] == 2 or out.size == 0
 
 
+def test_csgld_mult_clip_engages():
+    """The drift-multiplier clip (documented stabilization) bounds the
+    amplified drift even when adjacent energy bins hold wildly different
+    mass — the regime that NaN'd 50k-step contour-proximal chains at the
+    reference hyperparameters before the clip."""
+    kern = S.csgld(
+        GM.log_prob, num_partitions=64, energy_gap=0.25, zeta=0.75,
+        temperature=50.0, lr_schedule=1e-3, mult_clip=100.0,
+    )
+    st = kern.init(X0)
+    # hand the kernel a maximally sharpened pdf: one bin holds all mass
+    pdf = np.full(64, 1e-30)
+    pdf[1] = 1.0
+    st = st.replace(
+        extras=st.extras._replace(energy_pdf=jnp.asarray(pdf, jnp.float64))
+    )
+    for i in range(20):
+        st, _ = kern.step(st, jax.random.fold_in(KEY, i))
+    assert np.isfinite(np.asarray(st.position)).all()
+
+
 def test_prox_sgld_variants_golden():
     from lmc_atomi_tpu.ops.prox import prox_laplace
 
