@@ -137,6 +137,8 @@ def run_resumable_fused(
     Per-segment moments merge into the bundle via the exact Chan et al.
     parallel-Welford combine.
     """
+    import functools
+
     from lmc_atomi_tpu.kernels.myula_fused import run_myula_tv_fused
 
     key = as_key(key)
@@ -150,14 +152,22 @@ def run_resumable_fused(
     if ckpt_path and os.path.exists(ckpt_path):
         bundle = restore_checkpoint(ckpt_path, bundle)
 
+    # jit the segment runner ONCE: eager per-segment calls re-trace the
+    # block scan every segment (~16 s each at 512^2)
+    @functools.partial(jax.jit, static_argnames=("n", "seg_burn"))
+    def run_seg(x, k, n, seg_burn):
+        return run_myula_tv_fused(
+            l2, tv_sigma, tau, gamma, x, k, n, burn_in=seg_burn,
+            **fused_kwargs,
+        )
+
     while int(bundle["done"]) < total_steps:
         done = int(bundle["done"])
         n = min(segment_steps, total_steps - done)
         seg_burn = min(max(burn_in - done, 0), n)
-        res = run_myula_tv_fused(
-            l2, tv_sigma, tau, gamma, bundle["position"],
-            step_key(bundle["key"], done // segment_steps), n,
-            burn_in=seg_burn, **fused_kwargs,
+        res = run_seg(
+            bundle["position"],
+            step_key(bundle["key"], done // segment_steps), n, seg_burn,
         )
         pos = res.final_state.position
         jax.block_until_ready(pos)
