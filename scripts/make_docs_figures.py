@@ -76,6 +76,27 @@ def main():
         {"PnP-ULA posterior mean": mean, "Posterior std": std},
         f"{outdir}/pnp_uncertainty.png", ncols=2,
     )
+
+    # --- sparse-view CT -------------------------------------------------------
+    from lmc_atomi_tpu.experiments.ct import ct_tv_myula
+    from lmc_atomi_tpu.ops.radon import Radon2D
+
+    ct_mean, ct_std, _ = ct_tv_myula(
+        n_steps=1000, burn_in=100, compute_map=False, pnp=False,
+        make_plots=False,
+    )
+    ct_img = phantom(128) / 255.0
+    op = Radon2D.create((128, 128), n_angles=30, dtype=jnp.float32)
+    sino = np.asarray(jax.jit(op.matvec)(jnp.asarray(ct_img, jnp.float32)))
+    F.image_grid(
+        {
+            "Ground truth": np.asarray(ct_img),
+            "Sinogram (30 angles)": sino,
+            "TV posterior mean": np.asarray(ct_mean),
+            "Posterior std": np.asarray(ct_std),
+        },
+        f"{outdir}/ct_posterior.png", ncols=4,
+    )
     print("figures written to", outdir)
 
 
