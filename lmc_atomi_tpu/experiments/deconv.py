@@ -153,7 +153,7 @@ def prox_lmc_deconv(
         else:
             if alg == "ULPDA":
                 # TPU production path: fused primal-dual step with a
-                # fixed-trip CG gram solve (kernels/ulpda_fused.py; parity
+                # fixed-trip Richardson gram solve (kernels/ulpda_fused.py; parity
                 # gated in tests/test_ulpda_fused.py)
                 from lmc_atomi_tpu.kernels import (
                     ulpda_fused_supported,

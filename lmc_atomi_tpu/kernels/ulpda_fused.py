@@ -24,8 +24,8 @@ forward-difference ``Gradient2D``, ``proxg`` is ``L21Norm`` (isotropic) or
 ``L2NcvxTV`` over a ``CirculantBlur2D`` with a cached small-PSF
 autocorrelation, constant ``tau``/``mu``, ``z=None``. Both ``gfirst``
 orders. Deterministic parity with the unfused kernel is gated in
-tests/test_ulpda_fused.py (the CG solve replaces the exact spectral solve,
-so parity is to CG tolerance, not ulp-exact).
+tests/test_ulpda_fused.py (the Richardson solve replaces the exact
+spectral solve, so parity is to solver tolerance, not ulp-exact).
 """
 from __future__ import annotations
 

@@ -1,8 +1,8 @@
 """Fused ULPDA block kernel: deterministic interpret-mode parity with the
 reference recursion (kernels/imaging.py::ulpda update rule, noise off)
 across dual norms, gfirst orders, and nonconvex data terms. The fused
-f-prox is a fixed-trip CG gram solve rather than the exact spectral
-inverse, so parity is to CG tolerance (the normal system has condition
+f-prox is a fixed-trip Richardson gram solve rather than the exact
+spectral inverse, so parity is to solver tolerance (the system has condition
 ~ 1 + tau*sigma at reference step sizes)."""
 import jax
 import jax.numpy as jnp
@@ -79,7 +79,7 @@ class TestSupported:
 
 class TestDeterministicParity:
     """noise off, interpret mode, solver sweeps cranked up: the fused step must
-    track the exact-solve recursion to CG tolerance."""
+    track the exact-solve recursion to solver tolerance."""
 
     @pytest.mark.parametrize("which", ["tv", "mctv", "metv"])
     @pytest.mark.parametrize("gfirst", [False, True])
@@ -103,7 +103,7 @@ class TestDeterministicParity:
         np.testing.assert_allclose(
             np.asarray(st.position), np.asarray(want_x), atol=2e-4 * scale
         )
-        # the pre-projection dual inherits the primal's absolute CG error
+        # the pre-projection dual inherits the primal's absolute solver error
         # (image values are O(100)), so its tolerance scales with the primal
         np.testing.assert_allclose(
             np.asarray(st.extras.y), np.asarray(want_y),
@@ -135,7 +135,7 @@ class TestDeterministicParity:
         )
 
     def test_cg_solve_quality_at_production_trips(self):
-        """At the production trip count (8) the CG gram solve matches the
+        """At the production trip count the Richardson gram solve matches the
         exact spectral solve to f32 accuracy after one step."""
         img, blur, y, sigma, tau, mu = _problem()
         proxf, proxg = _terms("tv", blur, y, sigma)
