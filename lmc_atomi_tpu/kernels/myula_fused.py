@@ -63,8 +63,10 @@ Taps = Tuple[Tuple[Tuple[float, ...], Tuple[float, ...]], ...]
 
 # Mosaic's default scoped-VMEM limit is 16 MiB; a v5e core has 128 MiB of
 # VMEM, so the fused whole-image kernels raise the limit explicitly (the
-# nonconvex modes keep a few extra live 512^2 fields on the stack).
-_VMEM_LIMIT_BYTES = 64 * 1024 * 1024
+# nonconvex modes keep a few extra live 512^2 fields on the stack, and the
+# fused ULPDA at 1024^2 measures ~68 MiB scoped; 96 MiB leaves room for
+# the ~28 MiB of kernel operands beside the stack).
+_VMEM_LIMIT_BYTES = 96 * 1024 * 1024
 _VMEM_BUDGET_BYTES = 48 * 1024 * 1024
 
 
