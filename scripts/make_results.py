@@ -328,20 +328,21 @@ def sec_throughput(lines):
         "See `bench.py` (driver-run) for the canonical number: MYULA at",
         "512x512 TV-deblur with streaming posterior moments, via the fully",
         "fused Pallas block kernel (kernels/myula_fused.py). Round-2",
-        "measurements on one v5e chip: **33.0k iters/s** single chain",
+        "measurements on one v5e chip: **33.2k iters/s** single chain",
         "(30 us/step, ~4400x the CPU reference loop) with the",
         "warm-started 5-trip Chambolle dual + paired Box-Muller noise;",
         "21.5k with the reference's cold 10-trip prox (BENCH_TV_WARM=0);",
         "aggregate 4 vmapped chains ~34.1k iters/s; the round-1 unfused",
         "spectral path measures ~6.1k (BENCH_PATH=unfused). 1e5-iteration",
         "north-star run: under 5 s total, posterior-mean PSNR 40.8 dB",
-        "(`scripts/bench_longrun.py`). The nonconvex data terms fuse too:",
-        "MC-TV ~15.3k iters/s, ME-TV ~10.5k iters/s at 512^2 (same kernel,",
-        "extra in-VMEM work), and the fused primal-dual ULPDA",
-        "(kernels/ulpda_fused.py, in-VMEM Richardson gram solve) runs",
-        "~10.1k iters/s vs ~4.0k unfused — `scripts/bench_fused_modes.py`.",
-        "At 1024^2 the fused MYULA step measures ~4.3k iters/s (230",
-        "us/step, ~3.5x the 512^2 step for 4x the pixels).",
+        "(`scripts/bench_longrun.py`; the checkpointed resumable variant",
+        "takes 23 s cold including compiles). The nonconvex data terms",
+        "fuse too — cold / warm-dual iters/s at 512^2: MC-TV 18.5k /",
+        "27.4k, ME-TV 11.8k / 18.4k (same kernel, extra in-VMEM work) —",
+        "and the fused primal-dual ULPDA (kernels/ulpda_fused.py, in-VMEM",
+        "Richardson gram solve) runs ~11.2k iters/s vs ~4.1k unfused",
+        "(`scripts/bench_fused_modes.py`). At 1024^2 the fused MYULA step",
+        "measures ~4.3k iters/s and fused ULPDA ~2.7k.",
         "",
     ]
 
