@@ -154,6 +154,30 @@ class TestDeterministicParity:
         assert err < 5e-5, err
 
 
+@pytest.mark.skipif(not ON_TPU, reason="needs a real TPU")
+def test_fused_kernels_run_at_1024():
+    """Regression guard for the scoped-VMEM limit: both fused kernels must
+    compile and run at 1024^2 (the ULPDA stack is ~68 MiB there)."""
+    from lmc_atomi_tpu.kernels.myula_fused import run_myula_tv_fused
+
+    img, blur, y, sigma, tau, mu = _problem(n=1024)
+    proxf, proxg = _terms("tv", blur, y, sigma)
+    x0 = jnp.zeros_like(img)
+    res_u = jax.jit(
+        lambda x, k: run_ulpda_fused(
+            proxf, proxg, Gradient2D(), tau, mu, x, k, 50, block=50
+        )
+    )(x0, jax.random.PRNGKey(1))
+    assert bool(jnp.isfinite(res_u.final_state.position).all())
+    gamma = 0.75**2
+    res_m = jax.jit(
+        lambda x, k: run_myula_tv_fused(
+            proxf, 0.3, 0.2 * gamma, gamma, x, k, 50, block=50,
+        )
+    )(x0, jax.random.PRNGKey(2))
+    assert bool(jnp.isfinite(res_m.final_state.position).all())
+
+
 @pytest.mark.skipif(not ON_TPU, reason="on-core PRNG needs a real TPU")
 class TestFusedUlpdaNoiseTPU:
     def test_noise_statistics(self):
