@@ -18,7 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-DEFAULT_SECTIONS = "mixtures,laplace,prox,deconv,wavelets,pnp,ct,sgld,throughput"
+DEFAULT_SECTIONS = "mixtures,laplace,prox,denoise,deconv,wavelets,pnp,ct,sgld,throughput"
 
 
 def sec_mixtures(lines):
@@ -149,6 +149,27 @@ def sec_deconv(lines):
         lines += ["", f"Blurred observation (k5): {blurred:.2f} dB.", ""]
 
 
+def sec_denoise(lines):
+    from lmc_atomi_tpu.experiments.denoise import l1_denoise_myula
+
+    _, rep = l1_denoise_myula(make_plots=False)
+    lines += [
+        "## Pixel-l1 denoising 64x64 (BASELINE config 2) — PSNR (dB)",
+        "",
+        "MYULA with the soft-threshold prox over the Laplace-prior",
+        "posterior, 2000 steps:",
+        "",
+        "| noisy obs | posterior mean | iters/s |",
+        "|---|---|---|",
+        "| {:.2f} | {:.2f} | {:.0f} |".format(
+            rep["psnr_noisy"], rep["psnr_posterior_mean"],
+            rep["iters_per_sec"],
+        ),
+        "",
+    ]
+    print("denoise done", file=sys.stderr)
+
+
 def sec_wavelets(lines, wavelet_steps: int):
     from lmc_atomi_tpu.experiments.inpainting import wavelet_inpainting
 
@@ -162,6 +183,7 @@ def sec_wavelets(lines, wavelet_steps: int):
         "| image | Haar | D4 | D8 | masked obs |",
         "|---|---|---|---|---|",
     ]
+    mala_note = None
     for image in ("phantom", "einstein"):
         row = []
         obs = None
@@ -172,11 +194,29 @@ def sec_wavelets(lines, wavelet_steps: int):
             )
             row.append(s["report"]["MYULA"]["psnr"])
             obs = s["report"]["observed"]["psnr"]
+            if image == "phantom" and wav == "haar":
+                mala_note = (
+                    s["report"].get("MALA", {}).get("psnr"),
+                    s.get("mala_acceptance"),
+                )
             print(f"wavelets {image} {wav} done", file=sys.stderr)
         lines.append(
             f"| {image} | " + " | ".join(f"{p:.2f}" for p in row)
             + f" | {obs:.2f} |"
         )
+    if mala_note and mala_note[0] is not None:
+        acc = (
+            f" (acceptance {mala_note[1]:.2f})"
+            if mala_note[1] is not None else ""
+        )
+        lines += [
+            "",
+            "MYULA vs MALA (BASELINE config 4): on the Haar/phantom",
+            f"configuration the smooth-target MALA chain reaches",
+            f"{mala_note[0]:.2f} dB{acc} — the accept/reject step forces",
+            "a d^(-1/3)-scaled step size at d=512^2, so the unadjusted",
+            "MYULA drift mixes far faster at equal step budget.",
+        ]
     lines += [""]
 
 
@@ -373,6 +413,8 @@ def main(
         sec_mixtures(lines)
     if "laplace" in want:
         sec_laplace(lines, laplace_exact, laplace_k)
+    if "denoise" in want:
+        sec_denoise(lines)
     if "deconv" in want:
         sec_deconv(lines)
     if "wavelets" in want:
