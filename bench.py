@@ -25,16 +25,19 @@ N = int(os.environ.get("BENCH_SIZE", "512"))
 # long enough that the fixed dispatch/tunnel latency (~30ms/call) is noise
 # against the ~50us steady-state step; 2e4 steps is ~1s of device work
 STEPS = int(os.environ.get("BENCH_STEPS", "20000"))
-CPU_STEPS = int(os.environ.get("BENCH_CPU_STEPS", "30"))
+CPU_STEPS = int(os.environ.get("BENCH_CPU_STEPS", "10"))
+CPU_REPS = int(os.environ.get("BENCH_CPU_REPS", "3"))
 SIGMA_NOISE = 0.75
 TV_WEIGHT = 0.3
 TV_ITERS = 10
-# warm-started Chambolle dual carried across steps: 5 warm trips hold the
-# same order of prox error as the reference's 10 cold trips (see
-# kernels/myula_fused.py::run_myula_tv_fused) for ~1.5x throughput.
-# BENCH_TV_WARM=0 forces the reference's cold 10-trip prox.
-TV_WARM = os.environ.get("BENCH_TV_WARM", "1") == "1"
-TV_ITERS_DEV = 5 if TV_WARM else TV_ITERS
+# The headline `value` is ALWAYS the reference prox semantics: a cold
+# 10-trip Chambolle TV prox per step (reference prox_lmc_deconv.py:122).
+# The fused path ALSO measures the warm-started 5-trip dual (the Chambolle
+# dual carried across steps — same order of prox error, ~0.001 dB
+# posterior-mean PSNR agreement at 20k steps, see
+# kernels/myula_fused.py::run_myula_tv_fused) and reports it as the
+# explicitly labelled extra field `value_warm5`.
+TV_ITERS_WARM = 5
 
 
 def cpu_baseline_iters_per_sec(y, h):
@@ -82,19 +85,25 @@ def cpu_baseline_iters_per_sec(y, h):
             px = (px + 0.25 * gx) / (1 + 0.25 * mag)
         return x - g * div2d(py, px)
 
-    x = np.zeros_like(y)
-    # warm one step (numpy has no compile, but warm caches)
-    t0 = time.perf_counter()
-    for _ in range(CPU_STEPS):
-        xi = rng.standard_normal(y.shape)
-        x = (
-            (1 - tau / gamma) * x
-            - tau * grad_f(x)
-            + (tau / gamma) * prox_tv(x, TV_WEIGHT * gamma)
-            + np.sqrt(2 * tau) * xi
-        )
-    dt = time.perf_counter() - t0
-    return CPU_STEPS / dt
+    # median of several short reps: the sandboxed vCPU showed a 1.5x
+    # run-to-run swing across rounds (BENCH_r01 10.15 vs r02 6.74 iters/s),
+    # which made vs_baseline noisy; the median pins it down
+    rates = []
+    x0 = np.zeros_like(y)
+    for _ in range(CPU_REPS):
+        x = x0
+        t0 = time.perf_counter()
+        for _ in range(CPU_STEPS):
+            xi = rng.standard_normal(y.shape)
+            x = (
+                (1 - tau / gamma) * x
+                - tau * grad_f(x)
+                + (tau / gamma) * prox_tv(x, TV_WEIGHT * gamma)
+                + np.sqrt(2 * tau) * xi
+            )
+        dt = time.perf_counter() - t0
+        rates.append(CPU_STEPS / dt)
+    return float(np.median(rates))
 
 
 def device_iters_per_sec():
@@ -137,39 +146,54 @@ def device_iters_per_sec():
         os.environ.get("BENCH_PATH", "fused") == "fused"
         and sep_fused_supported(blur, (N, N), dtype)
     )
-    if fused:
-        run = jax.jit(
-            lambda x, k, n: run_myula_tv_fused(
-                l2, TV_WEIGHT, tau, gamma, x, k, n,
-                niter_tv=TV_ITERS_DEV, block=500, tv_warm=TV_WARM,
-            ),
-            static_argnums=2,
-        )
-    else:
-        tv = TVNorm(sigma=TV_WEIGHT, niter=TV_ITERS)
+
+    def make_run(niter_tv, tv_warm):
+        if fused:
+            return jax.jit(
+                lambda x, k, n: run_myula_tv_fused(
+                    l2, TV_WEIGHT, tau, gamma, x, k, n,
+                    niter_tv=niter_tv, block=500, tv_warm=tv_warm,
+                ),
+                static_argnums=2,
+            )
+        tv = TVNorm(sigma=TV_WEIGHT, niter=niter_tv)
         kern = myula_imaging(l2, tv, tau=tau, gamma=gamma)
-        run = jax.jit(
+        return jax.jit(
             lambda x, k, n: run_chain(kern, x, k, n, collect="stats"),
             static_argnums=2,
         )
-    # compile + warmup at the SAME static step count (a different count is a
-    # different program and the timed call would include recompilation)
-    warm = run(x0, jax.random.PRNGKey(1), STEPS)
-    jax.block_until_ready(warm.moments.mean)
 
-    t0 = time.perf_counter()
-    out = run(x0, jax.random.PRNGKey(1), STEPS)
-    jax.block_until_ready(out.moments.mean)
-    dt = time.perf_counter() - t0
+    def timed(run):
+        # compile + warmup at the SAME static step count (a different count
+        # is a different program and the timed call would recompile)
+        warm = run(x0, jax.random.PRNGKey(1), STEPS)
+        jax.block_until_ready(warm.moments.mean)
+        t0 = time.perf_counter()
+        out = run(x0, jax.random.PRNGKey(1), STEPS)
+        jax.block_until_ready(out.moments.mean)
+        return time.perf_counter() - t0, out
 
+    # headline: the reference's cold 10-trip TV prox semantics
+    dt, out = timed(make_run(TV_ITERS, False))
     post_psnr = float(psnr(img, out.moments.mean))
     blur_psnr = float(psnr(img, y))
     print(
         f"[bench] device={jax.devices()[0].platform} n={N} steps={STEPS} "
-        f"path={'fused' if fused else 'unfused'} time={dt:.2f}s "
+        f"path={'fused' if fused else 'unfused'} cold10 time={dt:.2f}s "
         f"psnr_blurred={blur_psnr:.2f} psnr_mean={post_psnr:.2f}",
         file=sys.stderr,
     )
+    # extra row: warm-started 5-trip dual (fused only; explicitly labelled
+    # relaxed semantics — PSNR printed so the trade stays visible)
+    warm5 = None
+    if fused:
+        dt_w, out_w = timed(make_run(TV_ITERS_WARM, True))
+        warm5 = STEPS / dt_w
+        print(
+            f"[bench] warm5: time={dt_w:.2f}s -> {warm5:.0f} iters/s "
+            f"psnr_mean={float(psnr(img, out_w.moments.mean)):.2f}",
+            file=sys.stderr,
+        )
 
     # Aggregate throughput: vmapped parallel chains (the chip is mostly idle
     # on a single latency-bound chain). Reported to stderr; the headline JSON
@@ -184,7 +208,7 @@ def device_iters_per_sec():
                 return jax.vmap(
                     lambda xi, ki: run_myula_tv_fused(
                         l2, TV_WEIGHT, tau, gamma, xi, ki, n,
-                        niter_tv=TV_ITERS_DEV, block=500, tv_warm=TV_WARM,
+                        niter_tv=TV_ITERS, block=500,
                     ).moments.mean
                 )(x, keys)
             return jax.vmap(
@@ -209,23 +233,25 @@ def device_iters_per_sec():
             file=sys.stderr,
         )
 
-    return STEPS / dt, (np.asarray(y), np.asarray(h))
+    return STEPS / dt, warm5, (np.asarray(y), np.asarray(h))
 
 
 def main():
-    value, (y_np, h_np) = device_iters_per_sec()
+    value, warm5, (y_np, h_np) = device_iters_per_sec()
     cpu = cpu_baseline_iters_per_sec(y_np.astype(np.float64), h_np.astype(np.float64))
-    print(f"[bench] cpu_baseline={cpu:.2f} iters/s", file=sys.stderr)
-    print(
-        json.dumps(
-            {
-                "metric": f"myula_iters_per_sec_{N}x{N}_tv_deblur",
-                "value": round(value, 2),
-                "unit": "iters/s",
-                "vs_baseline": round(value / cpu, 2),
-            }
-        )
-    )
+    print(f"[bench] cpu_baseline={cpu:.2f} iters/s (median of {CPU_REPS})",
+          file=sys.stderr)
+    record = {
+        "metric": f"myula_iters_per_sec_{N}x{N}_tv_deblur",
+        # the headline value is the reference-comparable cold 10-trip prox
+        "value": round(value, 2),
+        "unit": "iters/s",
+        "vs_baseline": round(value / cpu, 2),
+        "value_cold10": round(value, 2),
+    }
+    if warm5 is not None:
+        record["value_warm5"] = round(warm5, 2)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -189,6 +189,105 @@ def _tv_prox(x, tv_gamma, masks, niter: int, step: float, pltpu,
     return (out, (py, px)) if return_dual else out
 
 
+def _sort5(v):
+    """Sort a 5-tuple of fields elementwise (9 compare-exchange network)."""
+    v = list(v)
+
+    def ce(i, j):
+        lo = jnp.minimum(v[i], v[j])
+        hi = jnp.maximum(v[i], v[j])
+        v[i], v[j] = lo, hi
+
+    for i, j in ((0, 1), (3, 4), (2, 4), (2, 3), (0, 3), (0, 2), (1, 4),
+                 (1, 3), (1, 2)):
+        ce(i, j)
+    return tuple(v)
+
+
+def _p2_update(x, qs, ns, c_prev, w, p):
+    """One vectorized P^2 step (Jain & Chlamtac 1985) for the ``p``-quantile.
+
+    Elementwise over image fields — the exact recurrence of
+    ``core.stats.RunningQuantile.update`` restated without dynamic indexing
+    or ``lax.cond`` so it runs on the VPU inside the fused block kernel:
+    ``qs`` is a 5-tuple of marker-height fields; ``ns`` a 3-tuple of
+    INTERIOR marker-position fields (n1, n2, n3) — the extremes need no
+    state, since n0 == 1 always and n4 == observation count (marker 4 sits
+    above every cell, so it increments every step). ``c_prev`` is the
+    (scalar, shared across pixels) number of observations already absorbed,
+    ``w`` the 0/1 mask for this observation (burn-in). Bootstrap
+    (c_prev < 5) stores into slot c_prev and sorts on the 5th; ``ns`` init
+    is (2, 3, 4).
+    """
+    dtype = x.dtype
+
+    # --- bootstrap branch: store x into slot c_prev; sort once full -------
+    boot = [
+        jnp.where((c_prev == i) & (w > 0), x, qi) for i, qi in enumerate(qs)
+    ]
+    srt = _sort5(tuple(boot))
+    boot = [
+        jnp.where((c_prev == 4) & (w > 0), si, bi) for si, bi in zip(srt, boot)
+    ]
+
+    # --- steady-state P^2 branch (valid once c_prev >= 5) -----------------
+    q = list(qs)
+    q[0] = jnp.minimum(q[0], x)
+    q[4] = jnp.maximum(q[4], x)
+    k = (
+        (x >= q[1]).astype(dtype)
+        + (x >= q[2]).astype(dtype)
+        + (x >= q[3]).astype(dtype)
+    )  # cell index in {0,1,2,3}
+    cnt = jnp.asarray(c_prev + 1, dtype)
+    # positions after the increment pass; extremes are implicit
+    n = [
+        jnp.ones((), dtype),
+        ns[0] + (1.0 > k).astype(dtype),
+        ns[1] + (2.0 > k).astype(dtype),
+        ns[2] + (3.0 > k).astype(dtype),
+        cnt,
+    ]
+
+    dn = (1.0, 1.0 + 2.0 * p, 1.0 + 4.0 * p, 3.0 + 2.0 * p, 5.0)
+    nprime = [1.0 + (d - 1.0) / 4.0 * (cnt - 1.0) for d in dn]
+
+    for i in (1, 2, 3):
+        d = nprime[i] - n[i]
+        move_up = (d >= 1.0) & (n[i + 1] - n[i] > 1.0)
+        move_dn = (d <= -1.0) & (n[i - 1] - n[i] < -1.0)
+        s = jnp.where(move_up, 1.0, jnp.where(move_dn, -1.0, 0.0)).astype(
+            dtype
+        )
+        do_move = s != 0.0
+        nm, ni, np_ = n[i - 1], n[i], n[i + 1]
+        qm, qi, qp = q[i - 1], q[i], q[i + 1]
+        # guard divisors: where no move happens the result is discarded, but
+        # inf/NaN from 0-divides must not poison the VPU pipeline
+        d_t = jnp.where(np_ - nm != 0.0, np_ - nm, 1.0)
+        d_u = jnp.where(np_ - ni != 0.0, np_ - ni, 1.0)
+        d_l = jnp.where(ni - nm != 0.0, ni - nm, 1.0)
+        para = qi + s / d_t * (
+            (ni - nm + s) * (qp - qi) / d_u + (np_ - ni - s) * (qi - qm) / d_l
+        )
+        ok = (qm < para) & (para < qp)
+        lin = qi + s * jnp.where(s > 0.0, (qp - qi) / d_u, (qi - qm) / d_l)
+        q[i] = jnp.where(do_move, jnp.where(ok, para, lin), qi)
+        n[i] = jnp.where(do_move, ni + s, ni)
+
+    # --- select branch, apply mask ---------------------------------------
+    in_boot = c_prev < 5
+    qs_new = tuple(
+        jnp.where(w > 0, jnp.where(in_boot, bi, pi), q0i)
+        for bi, pi, q0i in zip(boot, q, qs)
+    )
+    ns_new = tuple(
+        jnp.where((w > 0) & jnp.logical_not(in_boot), pi, n0i)
+        for pi, n0i in zip(n[1:4], ns)
+    )
+    return qs_new, ns_new
+
+
 def _box_muller2(shape, dtype, pltpu):
     """TWO independent standard-normal fields from the on-core PRNG (seed
     beforehand) — Box-Muller yields a cos AND a sin variate per uniform
@@ -207,10 +306,11 @@ def _box_muller2(shape, dtype, pltpu):
 
 
 def _block_kernel(
-    x_ref, atbs_ref, mean_ref, m2_ref, seed_ref, scal_ref, int_ref,
-    xo_ref, meano_ref, m2o_ref,
+    x_ref, atbs_ref, mean_ref, m2_ref, qh_ref, qn_ref, seed_ref, scal_ref,
+    int_ref,
+    xo_ref, meano_ref, m2o_ref, qho_ref, qno_ref,
     *, taps, oy, ox, n_steps, niter_tv, tv_step, with_noise, with_stats,
-    mode, niter_inner, tv_warm,
+    mode, niter_inner, tv_warm, quantiles,
 ):
     from jax.experimental.pallas import tpu as pltpu
 
@@ -236,14 +336,13 @@ def _block_kernel(
     noise_amp = noise_scale * jnp.sqrt(2.0 * tau)
 
     warm_env = tv_warm and mode == "metv"
+    n_q = len(quantiles)
 
     def one_step(i, carry, xi):
-        if warm_env:
-            x, mean, m2, tpy, tpx, epy, epx = carry
-        elif tv_warm:
-            x, mean, m2, tpy, tpx = carry
-        else:
-            x, mean, m2 = carry
+        # carry is a nested pytree: (x, mean, m2, tv_dual, env_dual, qstate)
+        # where tv_dual/env_dual are () or (py, px), and qstate is a tuple of
+        # per-quantile ((q0..q4), (n0..n4)) marker-field pairs.
+        x, mean, m2, tv_dual, env_dual, qstate = carry
         grad = gscale * _sep_gram(x, taps, oy, ox, pltpu) - atbs
         if mode == "mctv":
             # MC-TV concave term (ops/ncvx_tv.py::_grad_moreau, op2 path):
@@ -258,27 +357,27 @@ def _block_kernel(
         elif mode == "metv":
             # ME-TV concave term: grad f -= lamda * (x - prox_{gamma TV}x)/gamma
             if warm_env:
-                p, (epy, epx) = _tv_prox(
+                p, env_dual = _tv_prox(
                     x, gamma_mc, masks, niter_inner, tv_step, pltpu,
-                    p0=(epy, epx), return_dual=True,
+                    p0=env_dual, return_dual=True,
                 )
             else:
                 p = _tv_prox(x, gamma_mc, masks, niter_inner, tv_step, pltpu)
             grad = grad - (lamda / gamma_mc) * (x - p)
         if tv_warm:
-            tvprox, (tpy, tpx) = _tv_prox(
+            tvprox, tv_dual = _tv_prox(
                 x, tv_gamma, masks, niter_tv, tv_step, pltpu,
-                p0=(tpy, tpx), return_dual=True,
+                p0=tv_dual, return_dual=True,
             )
         else:
             tvprox = _tv_prox(x, tv_gamma, masks, niter_tv, tv_step, pltpu)
         x_new = (1.0 - tau / gamma) * x - tau * grad + (tau / gamma) * tvprox
         if with_noise:
             x_new = x_new + noise_amp * xi
+        g = step0 + i
+        w = (g >= burn).astype(jnp.int32)
         if with_stats:
             # weighted Welford, same recurrence as core.stats.RunningMoments
-            g = step0 + i
-            w = (g >= burn).astype(jnp.int32)
             # weighted count = cnt0 + weighted steps *within this block*
             n_new = cnt0 + jnp.maximum(
                 g + 1 - jnp.maximum(burn, step0), 0
@@ -288,11 +387,17 @@ def _block_kernel(
             delta = x_new - mean
             mean = mean + wf * delta / denom
             m2 = m2 + wf * delta * (x_new - mean)
-        if warm_env:
-            return x_new, mean, m2, tpy, tpx, epy, epx
-        if tv_warm:
-            return x_new, mean, m2, tpy, tpx
-        return x_new, mean, m2
+        if n_q:
+            # P^2 observation count BEFORE this step = GLOBAL post-burn
+            # steps so far (continues across segmented runs via step_offset,
+            # unlike the Welford count which restarts per run for Chan
+            # merging)
+            c_prev = jnp.maximum(g - burn, 0)
+            qstate = tuple(
+                _p2_update(x_new, qs, ns, c_prev, w, p)
+                for (qs, ns), p in zip(qstate, quantiles)
+            )
+        return x_new, mean, m2, tv_dual, env_dual, qstate
 
     def step_body(i, carry):
         if with_noise:
@@ -313,24 +418,40 @@ def _block_kernel(
         mean0, m20 = mean_ref[:], m2_ref[:]
     else:
         mean0 = m20 = jnp.zeros((1, 1), dtype)  # unused placeholder
-    if tv_warm:
-        # dual warm start is per-launch: cold zeros on the first step of the
-        # block, then carried across the block's steps
-        zero = jnp.zeros_like(x)
-        carry0 = (x, mean0, m20, zero, zero)
-        if warm_env:
-            carry0 = carry0 + (zero, zero)
+    zero = jnp.zeros_like(x)
+    # dual warm starts are per-launch: cold zeros on the first step of the
+    # block, then carried across the block's steps
+    tv_dual0 = (zero, zero) if tv_warm else ()
+    env_dual0 = (zero, zero) if warm_env else ()
+    if n_q:
+        qh0 = qh_ref[:]
+        qn0 = qn_ref[:]
+        qstate0 = tuple(
+            (
+                tuple(qh0[5 * j + i] for i in range(5)),
+                tuple(qn0[3 * j + i] for i in range(3)),
+            )
+            for j in range(n_q)
+        )
     else:
-        carry0 = (x, mean0, m20)
+        qstate0 = ()
+    carry0 = (x, mean0, m20, tv_dual0, env_dual0, qstate0)
     if with_noise and n_steps % 2 == 0:
         out = jax.lax.fori_loop(0, n_steps // 2, pair_body, carry0)
     else:
         out = jax.lax.fori_loop(0, n_steps, step_body, carry0)
-    x, mean, m2 = out[:3]
+    x, mean, m2, _, _, qstate = out
     xo_ref[:] = x
     if with_stats:
         meano_ref[:] = mean
         m2o_ref[:] = m2
+    if n_q:
+        qho_ref[:] = jnp.stack(
+            [q for qs, _ in qstate for q in qs]
+        )
+        qno_ref[:] = jnp.stack(
+            [n for _, ns in qstate for n in ns]
+        )
 
 
 @functools.partial(
@@ -338,24 +459,28 @@ def _block_kernel(
     static_argnames=(
         "taps", "oy", "ox", "n_steps", "niter_tv", "tv_step",
         "with_noise", "with_stats", "interpret", "mode", "niter_inner",
-        "tv_warm",
+        "tv_warm", "quantiles",
     ),
 )
 def myula_tv_block_update(
-    x, atbs, mean, m2, seed, scal_f, scal_i, *,
+    x, atbs, mean, m2, seed, scal_f, scal_i, qh=None, qn=None, *,
     taps: Taps, oy: int, ox: int, n_steps: int = 1, niter_tv: int = 10,
     tv_step: float = 0.25, with_noise: bool = True, with_stats: bool = True,
     interpret: bool = False, mode: str = "tv", niter_inner: int = 10,
-    tv_warm: bool = False,
+    tv_warm: bool = False, quantiles: Tuple[float, ...] = (),
 ):
-    """``n_steps`` fused MYULA steps (+ optional in-kernel Welford).
+    """``n_steps`` fused MYULA steps (+ optional in-kernel Welford / P^2).
 
     ``atbs = sigma * A^T b``; ``scal_f = [tau, gamma, tv_gamma, noise_scale,
     sigma]`` (dtype of x) — nonconvex modes append ``[lamda, gamma_mc]``;
     ``scal_i = [step0, burn_in, count0]`` (int32); ``seed`` is int32 (2,).
     ``mode`` selects the data-term gradient: ``"tv"`` (plain L2Data),
     ``"mctv"`` / ``"metv"`` (isotropic L2NcvxTV concave corrections,
-    reference algs.py:270-291). Returns ``(x', mean', m2')``.
+    reference algs.py:270-291). ``quantiles`` is a static tuple of
+    probabilities; when non-empty, per-pixel P^2 marker state rides in VMEM
+    as ``qh``/``qn`` of shape ``(5 * len(quantiles), *x.shape)`` (heights /
+    positions, cf. ``core.stats.RunningQuantile``). Returns
+    ``(x', mean', m2', qh', qn')``.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -365,34 +490,49 @@ def myula_tv_block_update(
     seed_tile = jnp.zeros((1, 128), jnp.int32)
     seed_tile = seed_tile.at[0, :2].set(jnp.asarray(seed, jnp.int32))
 
+    n_q = len(quantiles)
+    if qh is None:
+        qh = jnp.zeros((1, 1), x.dtype)
+    if qn is None:
+        qn = jnp.zeros((1, 1), x.dtype)
+
     kern = functools.partial(
         _block_kernel,
         taps=taps, oy=oy, ox=ox, n_steps=n_steps, niter_tv=niter_tv,
         tv_step=tv_step, with_noise=with_noise, with_stats=with_stats,
         mode=mode, niter_inner=niter_inner, tv_warm=tv_warm,
+        quantiles=quantiles,
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     stat_shape = x.shape if with_stats else (1, 1)
+    qh_shape = (5 * n_q,) + x.shape if n_q else (1, 1)
+    qn_shape = (3 * n_q,) + x.shape if n_q else (1, 1)
+    # donate x/mean/m2/qh/qn into the outputs: the block is a pure update
+    aliases = {0: 0}
+    if with_stats and mean.shape == x.shape:
+        aliases[2] = 1
+        aliases[3] = 2
+    if n_q and qh.shape == qh_shape:
+        aliases[4] = 3
+        aliases[5] = 4
     out = pl.pallas_call(
         kern,
         out_shape=(
             jax.ShapeDtypeStruct(x.shape, x.dtype),
             jax.ShapeDtypeStruct(stat_shape, x.dtype),
             jax.ShapeDtypeStruct(stat_shape, x.dtype),
+            jax.ShapeDtypeStruct(qh_shape, x.dtype),
+            jax.ShapeDtypeStruct(qn_shape, x.dtype),
         ),
-        in_specs=[vmem, vmem, vmem, vmem, vmem, smem, smem],
-        out_specs=(vmem, vmem, vmem),
-        # donate x/mean/m2 into the outputs: the block is a pure state update
-        input_output_aliases=(
-            {0: 0, 2: 1, 3: 2} if with_stats and mean.shape == x.shape
-            else {0: 0}
-        ),
+        in_specs=[vmem] * 6 + [vmem, smem, smem],
+        out_specs=(vmem,) * 5,
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT_BYTES
         ),
         interpret=interpret,
-    )(x, atbs, mean, m2, seed_tile, scal_f, scal_i)
+    )(x, atbs, mean, m2, qh, qn, seed_tile, scal_f, scal_i)
     return out
 
 
@@ -476,7 +616,7 @@ def myula_imaging_sep_fused(
             l2, tau, gamma, tv_sigma, noise_scale, lamda, gamma_mc, x.dtype
         )
         scal_i = jnp.zeros((3,), jnp.int32)
-        x_new, _, _ = myula_tv_block_update(
+        x_new, _, _, _, _ = myula_tv_block_update(
             x, atbs, dummy, dummy, _key_seed(key, base_seed), scal_f, scal_i,
             taps=taps, oy=oy, ox=ox, n_steps=1, niter_tv=niter_tv,
             with_noise=noise_scale != 0.0, with_stats=False,
@@ -502,13 +642,18 @@ def _pack_scal_f(l2, tau, gamma, tv_sigma, noise_scale, lamda, gamma_mc, dtype):
 
 
 class FusedChainResult(NamedTuple):
-    """Duck-typed subset of run.runner.ChainResult (moments + final state)."""
+    """Duck-typed subset of run.runner.ChainResult (moments + final state).
+
+    ``quantiles`` (when requested) is a dict ``{p: estimate}`` of per-pixel
+    streaming P^2 quantile maps; ``quantile_state`` carries the raw marker
+    fields ``(qh, qn)`` for continuation."""
 
     final_state: SamplerState
     moments: RunningMoments
     samples: Any = None
     metrics: Any = None
     quantiles: Any = None
+    quantile_state: Any = None
 
 
 def run_myula_tv_fused(
@@ -526,6 +671,9 @@ def run_myula_tv_fused(
     noise_scale: float = 1.0,
     interpret: bool = False,
     tv_warm: bool = False,
+    quantiles: Tuple[float, ...] = (),
+    quantile_state=None,
+    step_offset: int = 0,
 ):
     """Block-fused MYULA chain: lax.scan over blocks of fused in-VMEM steps.
 
@@ -533,6 +681,19 @@ def run_myula_tv_fused(
     traffic and launch overhead amortize over ``block`` steps per Pallas
     launch. Returns moments-compatible results (posterior mean/var via
     in-kernel Welford; ``burn_in`` in steps).
+
+    ``quantiles`` requests per-pixel streaming quantile maps (e.g.
+    ``(0.025, 0.975)`` for 95% credible intervals) computed IN-KERNEL by the
+    vectorized P^2 recurrence — marker state lives in VMEM beside the
+    Welford accumulators, so UQ runs at fused speed instead of the ~5x
+    slower unfused runner (the reference's posterior protocol keeps only the
+    mean, prox_lmc_deconv.py:447-474; credible intervals are the point of
+    sampling). 10 extra image fields per quantile: at 512^2 f32 a 95% CI
+    adds ~20 MiB of VMEM, fine under the raised limit; at 1024^2 it would
+    not fit — the caller gets a clear Mosaic VMEM error rather than a gate
+    here. ``quantile_state`` resumes from a prior ``result.quantile_state``,
+    with ``step_offset`` giving this run's global starting step so the P^2
+    observation count (and burn-in masking) continue across segmented runs.
 
     ``tv_warm=True`` carries the Chambolle dual across the block's steps
     (cold zeros at each launch boundary) so fewer trips suffice: measured
@@ -557,29 +718,60 @@ def run_myula_tv_fused(
     scal_f = _pack_scal_f(
         l2, tau, gamma, tv_sigma, noise_scale, lamda, gamma_mc, x0.dtype
     )
+    quantiles = tuple(float(p) for p in quantiles)
+    n_q = len(quantiles)
+    # traced-friendly (run_resumable_fused passes the bundle's done counter)
+    step_offset = jnp.asarray(step_offset, jnp.int32)
 
     def body(carry, b):
-        x, mean, m2 = carry
-        step0 = b * block
-        cnt0 = jnp.maximum(step0 - burn_in, 0)
+        x, mean, m2, qh, qn = carry
+        step0 = step_offset + b * block
+        # Welford count restarts at THIS run's first recorded step (partial
+        # results merge via RunningMoments.merge); the in-kernel P^2 count
+        # is global (max(g - burn, 0)) and needs no base here.
+        cnt0 = jnp.maximum(step0 - jnp.maximum(burn_in, step_offset), 0)
         scal_i = jnp.stack(
             [step0, jnp.asarray(burn_in, jnp.int32), cnt0]
         ).astype(jnp.int32)
-        x, mean, m2 = myula_tv_block_update(
+        x, mean, m2, qh, qn = myula_tv_block_update(
             x, atbs, mean, m2, _key_seed(step_key(key, b)), scal_f, scal_i,
+            qh, qn,
             taps=taps, oy=oy, ox=ox, n_steps=block, niter_tv=niter_tv,
             with_noise=noise_scale != 0.0, with_stats=True,
             interpret=interpret, mode=mode, niter_inner=niter_inner,
-            tv_warm=tv_warm,
+            tv_warm=tv_warm, quantiles=quantiles,
         )
-        return (x, mean, m2), None
+        return (x, mean, m2, qh, qn), None
 
     zeros = jnp.zeros_like(x0)
-    (x, mean, m2), _ = jax.lax.scan(
-        body, (x0, zeros, zeros), jnp.arange(n_blocks, dtype=jnp.int32)
+    if n_q:
+        if quantile_state is not None:
+            qh0, qn0 = quantile_state
+        else:
+            qh0 = jnp.zeros((5 * n_q,) + x0.shape, x0.dtype)
+            # interior marker positions start at (2, 3, 4) — the extremes
+            # are implicit (n0 == 1, n4 == count), cf. _p2_update
+            qn0 = jnp.tile(
+                jnp.arange(2.0, 5.0, dtype=x0.dtype)[:, None, None],
+                (n_q, x0.shape[0], x0.shape[1]),
+            )
+    else:
+        qh0 = qn0 = jnp.zeros((1, 1), x0.dtype)
+    (x, mean, m2, qh, qn), _ = jax.lax.scan(
+        body, (x0, zeros, zeros, qh0, qn0),
+        jnp.arange(n_blocks, dtype=jnp.int32),
     )
-    count = jnp.asarray(max(n_steps - burn_in, 0), jnp.int32)
+    count = (
+        jnp.maximum(step_offset + n_steps - burn_in, 0)
+        - jnp.maximum(step_offset - burn_in, 0)
+    ).astype(jnp.int32)
     return FusedChainResult(
         final_state=SamplerState.init(x),
         moments=RunningMoments(count=count, mean=mean, m2=m2),
+        # marker 2 is the running quantile estimate (valid once count >= 5)
+        quantiles=(
+            {p: qh[5 * j + 2] for j, p in enumerate(quantiles)}
+            if n_q else None
+        ),
+        quantile_state=(qh, qn) if n_q else None,
     )

@@ -101,7 +101,7 @@ def _ulpda_kernel(
     seed_ref, scal_ref, int_ref,
     xo_ref, pyo_ref, pxo_ref, xbo_ref, meano_ref, m2o_ref,
     *, taps, oy, ox, lam, n_steps, niter_solve, tv_step, gfirst, dual,
-    mode, niter_inner, with_noise, with_stats,
+    mode, niter_inner, with_noise, with_stats, env_warm,
 ):
     from jax.experimental.pallas import tpu as pltpu
 
@@ -143,7 +143,7 @@ def _ulpda_kernel(
             jnp.clip(px, -g_sigma, g_sigma),
         )
 
-    def prox_f(v, warm):
+    def prox_f(v, warm, env_dual):
         # L2NcvxTV concave-part linearization (ops/ncvx_tv.py::prox)
         if mode == "mctv":
             gy = fwd_y(v)
@@ -154,29 +154,40 @@ def _ulpda_kernel(
             # op2.rmatvec = -div
             v = v - tau * lamda * div(clamp * gy, clamp * gx)
         elif mode == "metv":
-            p = _tv_prox(v, gamma_mc, masks, niter_inner, tv_step, pltpu)
+            if env_warm:
+                # warm-start the Moreau-envelope Chambolle dual across steps
+                # (the prox argument moves by O(noise) per step, so the
+                # previous dual is a near-fixed-point — same trick as
+                # myula_fused's warm_env)
+                p, env_dual = _tv_prox(
+                    v, gamma_mc, masks, niter_inner, tv_step, pltpu,
+                    p0=env_dual, return_dual=True,
+                )
+            else:
+                p = _tv_prox(v, gamma_mc, masks, niter_inner, tv_step, pltpu)
             v = v + (tau * lamda / gamma_mc) * (v - p)
         rhs = v + ts * atb
-        return _richardson_gram_solve(
+        u = _richardson_gram_solve(
             rhs, warm, ts, omega, taps, oy, ox, niter_solve, pltpu
         )
+        return u, env_dual
 
     def one_step(i, carry, xi):
-        # gfirst=False never reads the previous step's xbar (the dual
-        # update consumes the freshly built one), so it stays out of the
-        # loop carry there — one less live VMEM field at 512^2.
+        # Both orders carry xbar so the kernel returns the TRUE extrapolated
+        # xbar even for gfirst=False (where the next step's dual update has
+        # already consumed it, but a handoff to a gfirst=True kernel needs
+        # the genuine value, not a stand-in).
+        x, py, px, xbar, env_dual, mean, m2 = carry
         if gfirst:
-            x, py, px, xbar, mean, m2 = carry
             py, px = dual_prox(py + mu * fwd_y(xbar), px + mu * fwd_x(xbar))
             aty = -div(py, px)
-            x_new = prox_f(x - tau * aty, x)
+            x_new, env_dual = prox_f(x - tau * aty, x, env_dual)
             if with_noise:
                 x_new = x_new + noise_amp * xi
             xbar = x_new + theta * (x_new - x)
         else:
-            x, py, px, mean, m2 = carry
             aty = -div(py, px)
-            x_new = prox_f(x - tau * aty, x)
+            x_new, env_dual = prox_f(x - tau * aty, x, env_dual)
             if with_noise:
                 x_new = x_new + noise_amp * xi
             xbar = x_new + theta * (x_new - x)
@@ -190,9 +201,7 @@ def _ulpda_kernel(
             delta = x_new - mean
             mean = mean + wf * delta / denom
             m2 = m2 + wf * delta * (x_new - mean)
-        if gfirst:
-            return x_new, py, px, xbar, mean, m2
-        return x_new, py, px, mean, m2
+        return x_new, py, px, xbar, env_dual, mean, m2
 
     def step_body(i, carry):
         if with_noise:
@@ -211,26 +220,20 @@ def _ulpda_kernel(
         mean0, m20 = mean_ref[:], m2_ref[:]
     else:
         mean0 = m20 = jnp.zeros((1, 1), dtype)
-    if gfirst:
-        carry0 = (x, py, px, xb_ref[:], mean0, m20)
-    else:
-        carry0 = (x, py, px, mean0, m20)
+    # gfirst=False never READS the incoming xbar (each step rebuilds it
+    # before the dual update), so the dead initial value is just x.
+    # env dual warm start is per-launch (cold zeros at block boundaries)
+    env_dual0 = (jnp.zeros_like(x), jnp.zeros_like(x)) if env_warm else ()
+    carry0 = (x, py, px, xb_ref[:] if gfirst else x, env_dual0, mean0, m20)
     if with_noise and n_steps % 2 == 0:
         out = jax.lax.fori_loop(0, n_steps // 2, pair_body, carry0)
     else:
         out = jax.lax.fori_loop(0, n_steps, step_body, carry0)
-    if gfirst:
-        x, py, px, xbar, mean, m2 = out
-    else:
-        xbar = None
-        x, py, px, mean, m2 = out
+    x, py, px, xbar, _, mean, m2 = out
     xo_ref[:] = x
     pyo_ref[:] = py
     pxo_ref[:] = px
-    if gfirst:
-        xbo_ref[:] = xbar
-    else:
-        xbo_ref[:] = jnp.zeros_like(xbo_ref)
+    xbo_ref[:] = xbar
     if with_stats:
         meano_ref[:] = mean
         m2o_ref[:] = m2
@@ -241,7 +244,7 @@ def _ulpda_kernel(
     static_argnames=(
         "taps", "oy", "ox", "lam", "n_steps", "niter_solve", "tv_step",
         "gfirst", "dual", "mode", "niter_inner", "with_noise", "with_stats",
-        "interpret",
+        "interpret", "env_warm",
     ),
 )
 def ulpda_block_update(
@@ -251,10 +254,13 @@ def ulpda_block_update(
     tv_step: float = 0.25, gfirst: bool = False, dual: str = "l21",
     mode: str = "tv", niter_inner: int = 10, with_noise: bool = True,
     with_stats: bool = True, interpret: bool = False,
+    env_warm: bool = False,
 ):
     """``n_steps`` fused ULPDA steps. ``scal_f = [tau, mu, theta,
     noise_scale, sigma, g_sigma(, lamda, gamma_mc)]``; ``scal_i = [step0,
-    burn_in, count0]``. Returns ``(x', py', px', xbar', mean', m2')``."""
+    burn_in, count0]``. ``env_warm`` carries the ME-TV Moreau-envelope
+    Chambolle dual across the block's steps (metv mode only). Returns
+    ``(x', py', px', xbar', mean', m2')``."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -267,14 +273,16 @@ def ulpda_block_update(
         niter_solve=niter_solve,
         tv_step=tv_step, gfirst=gfirst, dual=dual, mode=mode,
         niter_inner=niter_inner, with_noise=with_noise,
-        with_stats=with_stats,
+        with_stats=with_stats, env_warm=env_warm and mode == "metv",
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     stat_shape = x.shape if with_stats else (1, 1)
-    xbar_shape = x.shape if gfirst else (1, 1)
+    # the output xbar is the genuine extrapolated iterate in BOTH orders
+    # (gfirst=False still accepts a dummy (1,1) input — it is never read)
+    xbar_shape = x.shape
     aliases = {0: 0, 1: 1, 2: 2}
-    if gfirst and xbar.shape == x.shape:
+    if xbar.shape == x.shape:
         aliases[3] = 3
     if with_stats and mean.shape == x.shape:
         aliases[5] = 4
@@ -376,7 +384,7 @@ def ulpda_sep_fused(
             with_noise=noise_scale != 0.0, with_stats=False,
             interpret=interpret,
         )
-        xb_out = xb_n if gfirst else x_n + theta * (x_n - x)
+        xb_out = xb_n
         return (
             state.next(
                 x_n, extras=ULPDAExtras(y=jnp.stack([py_n, px_n]), xbar=xb_out)
@@ -404,11 +412,21 @@ def run_ulpda_fused(
     block: Optional[int] = None,
     noise_scale: float = 1.0,
     interpret: bool = False,
+    env_warm: bool = False,
+    niter_inner: Optional[int] = None,
 ):
     """Block-fused ULPDA chain: lax.scan over blocks of fused in-VMEM steps
-    with in-kernel Welford posterior moments (cf. run_myula_tv_fused)."""
-    (taps, (oy, ox), atb, mode, lamda, gamma_mc, niter_inner, dual,
+    with in-kernel Welford posterior moments (cf. run_myula_tv_fused).
+
+    ``env_warm=True`` (metv data terms) carries the Moreau-envelope
+    Chambolle dual across steps — the same accuracy/throughput trade as
+    ``run_myula_tv_fused(tv_warm=True)``; pair it with a reduced
+    ``niter_inner`` override (e.g. 5 warm trips vs the data term's cold 10)
+    after checking the parity gates. Cold per launch."""
+    (taps, (oy, ox), atb, mode, lamda, gamma_mc, niter_inner_l2, dual,
      lam) = _ulpda_setup(proxf, proxg, tau, mu)
+    if niter_inner is None:
+        niter_inner = niter_inner_l2
     if block is None:
         block = min(n_steps, 128)
     while n_steps % block:
@@ -420,7 +438,7 @@ def run_ulpda_fused(
         proxf, proxg, tau, mu, theta, noise_scale, lamda, gamma_mc, x0.dtype
     )
     zeros = jnp.zeros_like(x0)
-    xbar0 = x0 if gfirst else jnp.zeros((1, 1), x0.dtype)
+    xbar0 = x0
 
     def body(carry, b):
         x, py, px, xbar, mean, m2 = carry
@@ -436,7 +454,7 @@ def run_ulpda_fused(
             niter_solve=niter_solve,
             gfirst=gfirst, dual=dual, mode=mode, niter_inner=niter_inner,
             with_noise=noise_scale != 0.0, with_stats=True,
-            interpret=interpret,
+            interpret=interpret, env_warm=env_warm,
         )
         return (x, py, px, xbar, mean, m2), None
 
@@ -447,7 +465,7 @@ def run_ulpda_fused(
     count = jnp.asarray(max(n_steps - burn_in, 0), jnp.int32)
     return FusedChainResult(
         final_state=SamplerState.init(
-            x, extras=ULPDAExtras(y=jnp.stack([py, px]), xbar=xbar if gfirst else x)
+            x, extras=ULPDAExtras(y=jnp.stack([py, px]), xbar=xbar)
         ),
         moments=RunningMoments(count=count, mean=mean, m2=m2),
     )

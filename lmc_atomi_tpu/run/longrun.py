@@ -132,42 +132,57 @@ def run_resumable_fused(
     ``run_myula_tv_fused`` call (the image stays in VMEM across the
     segment's steps), so a checkpointed 1e5-step run costs nearly the same
     as the monolithic one. Per-segment PRNG keys are folds of the base key
-    by the global segment index, so a preempted run resumes bit-identically
-    (re-running an interrupted segment reproduces the same draws).
+    by the segment's ABSOLUTE start step (not the segment ordinal), so a
+    preempted run resumes bit-identically — re-running an interrupted
+    segment reproduces the same draws — and resuming a checkpoint with a
+    *different* ``segment_steps`` than the run that wrote it still never
+    reuses a fold index (distinct start steps -> distinct noise streams).
     Per-segment moments merge into the bundle via the exact Chan et al.
     parallel-Welford combine.
     """
-    import functools
+    import functools as _ft
 
     from lmc_atomi_tpu.kernels.myula_fused import run_myula_tv_fused
 
     key = as_key(key)
     x0 = jnp.asarray(x0)
+    quantiles = tuple(float(p) for p in fused_kwargs.pop("quantiles", ()))
     bundle = {
         "position": x0,
         "moments": RunningMoments.init(x0),
         "key": key,
         "done": jnp.zeros((), jnp.int32),
     }
+    if quantiles:
+        n_q = len(quantiles)
+        bundle["quantile_state"] = (
+            jnp.zeros((5 * n_q,) + x0.shape, x0.dtype),
+            # interior marker positions (n1, n2, n3); extremes implicit
+            jnp.tile(
+                jnp.arange(2.0, 5.0, dtype=x0.dtype)[:, None, None],
+                (n_q, x0.shape[0], x0.shape[1]),
+            ),
+        )
     if ckpt_path and os.path.exists(ckpt_path):
         bundle = restore_checkpoint(ckpt_path, bundle)
 
     # jit the segment runner ONCE: eager per-segment calls re-trace the
-    # block scan every segment (~16 s each at 512^2)
-    @functools.partial(jax.jit, static_argnames=("n", "seg_burn"))
-    def run_seg(x, k, n, seg_burn):
+    # block scan every segment (~16 s each at 512^2). The global start step
+    # (`off` = done) is traced, so only distinct tail lengths recompile.
+    @_ft.partial(jax.jit, static_argnames="n")
+    def run_seg(x, k, n, off, qstate):
         return run_myula_tv_fused(
-            l2, tv_sigma, tau, gamma, x, k, n, burn_in=seg_burn,
+            l2, tv_sigma, tau, gamma, x, k, n, burn_in=burn_in,
+            quantiles=quantiles, quantile_state=qstate, step_offset=off,
             **fused_kwargs,
         )
 
     while int(bundle["done"]) < total_steps:
         done = int(bundle["done"])
         n = min(segment_steps, total_steps - done)
-        seg_burn = min(max(burn_in - done, 0), n)
         res = run_seg(
-            bundle["position"],
-            step_key(bundle["key"], done // segment_steps), n, seg_burn,
+            bundle["position"], step_key(bundle["key"], done), n,
+            bundle["done"], bundle.get("quantile_state"),
         )
         pos = res.final_state.position
         jax.block_until_ready(pos)
@@ -183,8 +198,15 @@ def run_resumable_fused(
             "key": bundle["key"],
             "done": bundle["done"] + n,
         }
+        if quantiles:
+            bundle["quantile_state"] = res.quantile_state
         if ckpt_path:
             save_checkpoint(ckpt_path, bundle)
         if progress is not None:
             progress(int(bundle["done"]), bundle)
+    if quantiles:
+        qh = bundle["quantile_state"][0]
+        bundle["quantiles"] = {
+            p: qh[5 * j + 2] for j, p in enumerate(quantiles)
+        }
     return bundle

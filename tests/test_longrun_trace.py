@@ -93,6 +93,62 @@ def test_resumable_fused_matches_uninterrupted(tmp_path):
     assert int(resumed["moments"].count) == 20
 
 
+def test_resumable_fused_segment_size_change_no_noise_replay(
+    tmp_path, monkeypatch
+):
+    """Per-segment keys fold the ABSOLUTE start step: resuming a checkpoint
+    with a different segment_steps must not reuse a fold index (round-2
+    advisor: ``done // segment_steps`` replayed the same noise stream —
+    a ckpt at done=4 from segment_steps=4 resumed with segment_steps=8
+    consumed fold 4//8 = 0 twice). The on-core PRNG cannot run in interpret
+    mode on CPU, so the fold indices are recorded via ``step_key``."""
+    from lmc_atomi_tpu.core.random import step_key as real_step_key
+    from lmc_atomi_tpu.ops.functionals import L2Data
+    from lmc_atomi_tpu.ops.linops import CirculantBlur2D, uniform_kernel
+    from lmc_atomi_tpu.run import longrun
+    from lmc_atomi_tpu.utils.images import phantom
+
+    n = 32
+    img = jnp.asarray(phantom(n), jnp.float32)
+    blur = CirculantBlur2D.from_kernel((n, n), uniform_kernel(5, jnp.float32))
+    y = jax.jit(
+        lambda im, k: blur.matvec(im)
+        + 0.75 * jax.random.normal(k, (n, n), jnp.float32)
+    )(img, jax.random.PRNGKey(0))
+    l2 = L2Data.create(op=blur, b=y, sigma=1 / 0.75**2)
+    gamma = 0.75**2
+    tau = 0.2 * gamma
+    kw = dict(noise_scale=0.0, interpret=True, block=4)
+    key = jax.random.PRNGKey(1)
+    x0 = jnp.zeros((n, n), jnp.float32)
+
+    folds = []
+
+    def recording_step_key(k, i):
+        folds.append(int(i))
+        return real_step_key(k, i)
+
+    monkeypatch.setattr(longrun, "step_key", recording_step_key)
+
+    ckpt = str(tmp_path / "seg.ckpt")
+    longrun.run_resumable_fused(
+        l2, 0.3, tau, gamma, x0, key, total_steps=4, segment_steps=4,
+        ckpt_path=ckpt, **kw
+    )
+    consumed = list(folds)
+    assert consumed == [0]
+    folds.clear()
+    # resume with DOUBLE the segment size: the remaining 4 steps must fold
+    # the base key by absolute start step 4 — never a fold the pre-crash
+    # run already consumed
+    longrun.run_resumable_fused(
+        l2, 0.3, tau, gamma, x0, key, total_steps=8, segment_steps=8,
+        ckpt_path=ckpt, **kw
+    )
+    assert folds == [4]
+    assert not set(folds) & set(consumed)
+
+
 def test_should_log_policy():
     rows = [i for i in range(100) if should_log(i, 100)]
     assert set(range(10)).issubset(rows)  # first 10

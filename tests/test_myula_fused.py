@@ -276,7 +276,7 @@ class TestFusedNoiseTPU:
         zeros = jnp.zeros((n, n), jnp.float32)
         scal_f = jnp.asarray([tau, 1.0, 0.3, 1.0, 1.0], jnp.float32)
         scal_i = jnp.zeros((3,), jnp.int32)
-        out, _, _ = myula_tv_block_update(
+        out, _, _, _, _ = myula_tv_block_update(
             zeros, zeros, zeros, zeros, jnp.asarray([11, 5], jnp.int32),
             scal_f, scal_i, taps=(((1.0,), (1.0,)),), oy=0, ox=0,
             n_steps=1, niter_tv=0, with_noise=True, with_stats=True,
@@ -287,6 +287,31 @@ class TestFusedNoiseTPU:
         # KS test on a subsample (full 65536 points over-powers KS)
         ks = stats.kstest(xi[::7][:8192], "norm")
         assert ks.pvalue > 1e-3, f"KS p={ks.pvalue}"
+
+    def test_warm5_vs_cold10_psnr_512(self):
+        """Warm-started 5-trip TV dual vs the reference's cold 10-trip prox
+        at the 512^2 flagship scale: posterior-mean PSNR must agree within
+        0.05 dB (the bench reports warm5 as a labelled extra row on this
+        guarantee; reference prox semantics: prox_lmc_deconv.py:122)."""
+        from lmc_atomi_tpu.eval.metrics import psnr
+
+        img, blur, y, l2, tau, gamma = _problem(n=512)
+        steps = 20000
+        x0 = jnp.zeros_like(img)
+        cold = jax.jit(
+            lambda x, k: run_myula_tv_fused(
+                l2, 0.3, tau, gamma, x, k, steps, block=500, niter_tv=10
+            )
+        )(x0, jax.random.PRNGKey(1))
+        warm = jax.jit(
+            lambda x, k: run_myula_tv_fused(
+                l2, 0.3, tau, gamma, x, k, steps, block=500, niter_tv=5,
+                tv_warm=True,
+            )
+        )(x0, jax.random.PRNGKey(1))
+        p_c = float(psnr(img, cold.moments.mean))
+        p_w = float(psnr(img, warm.moments.mean))
+        assert abs(p_c - p_w) < 0.05, (p_c, p_w)
 
     def test_psnr_parity_with_threefry_path(self):
         """Posterior-mean PSNR of the fused path within 0.1 dB of the

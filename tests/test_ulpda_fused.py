@@ -134,6 +134,58 @@ class TestDeterministicParity:
             atol=2e-4 * scale,
         )
 
+    @pytest.mark.parametrize("gfirst", [False, True])
+    def test_final_xbar_is_true_extrapolation(self, gfirst):
+        """The stored xbar must be the genuine extrapolated iterate
+        x_K + theta (x_K - x_{K-1}) in BOTH orders — a gfirst=False result
+        handed to a gfirst=True kernel depends on it (round-2 advisor)."""
+        img, blur, y, sigma, tau, mu = _problem()
+        proxf, proxg = _terms("tv", blur, y, sigma)
+        a_op = Gradient2D()
+        x0 = y
+        res = run_ulpda_fused(
+            proxf, proxg, a_op, tau, mu, x0, jax.random.PRNGKey(3), 4,
+            block=2, noise_scale=0.0, niter_solve=30, gfirst=gfirst,
+            interpret=not ON_TPU,
+        )
+        _, _, traj = _reference_steps(
+            proxf, proxg, a_op, x0, tau, mu, 4, gfirst=gfirst
+        )
+        want_xbar = traj[-1] + 1.0 * (traj[-1] - traj[-2])
+        scale = max(1.0, float(np.abs(want_xbar).max()))
+        np.testing.assert_allclose(
+            np.asarray(res.final_state.extras.xbar), want_xbar,
+            atol=5e-4 * scale,
+        )
+
+    def test_env_warm_tracks_converged_envelope(self):
+        """ME-TV envelope dual warm start (env_warm + 5 warm trips) must
+        track the CONVERGED-envelope chain (100 cold trips) at least as
+        closely as the data term's own cold 10-trip default does — the
+        ULPDA analogue of myula_fused's tv_warm trade (VERDICT item 2).
+        Warm accumulates dual convergence across steps, so it lands NEARER
+        the converged trajectory than cold-10, not near cold-10 itself."""
+        img, blur, y, sigma, tau, mu = _problem()
+        proxf, proxg = _terms("metv", blur, y, sigma)
+        a_op = Gradient2D()
+        x0 = y
+        kw = dict(block=16, noise_scale=0.0, niter_solve=20,
+                  interpret=not ON_TPU)
+        truth = run_ulpda_fused(
+            proxf, proxg, a_op, tau, mu, x0, jax.random.PRNGKey(3), 16,
+            niter_inner=100, **kw
+        ).final_state.position
+        cold10 = run_ulpda_fused(
+            proxf, proxg, a_op, tau, mu, x0, jax.random.PRNGKey(3), 16, **kw
+        ).final_state.position
+        warm5 = run_ulpda_fused(
+            proxf, proxg, a_op, tau, mu, x0, jax.random.PRNGKey(3), 16,
+            env_warm=True, niter_inner=5, **kw
+        ).final_state.position
+        err_cold = float(jnp.abs(cold10 - truth).max())
+        err_warm = float(jnp.abs(warm5 - truth).max())
+        assert err_warm < max(err_cold, 1e-4), (err_warm, err_cold)
+
     def test_cg_solve_quality_at_production_trips(self):
         """At the production trip count the Richardson gram solve matches the
         exact spectral solve to f32 accuracy after one step."""
