@@ -38,6 +38,7 @@ def ct_tv_myula(
     seed: int = 0,
     outdir: str = "fig",
     make_plots: bool = True,
+    radon_mode: str = "",
     platform: str = "",
 ):
     import jax
@@ -57,7 +58,10 @@ def ct_tv_myula(
     from lmc_atomi_tpu.utils import default_real_dtype
     dtype = default_real_dtype()
     img = jnp.asarray(phantom(size), dtype) / 255.0
-    op = Radon2D.create((size, size), n_angles=n_angles, dtype=dtype)
+    # mode auto-selects dense (small) / shear-FFT (reference scale 256^2+,
+    # round-3 VERDICT item 4); radon_mode overrides for tests
+    op = Radon2D.create((size, size), n_angles=n_angles, dtype=dtype,
+                        mode=radon_mode or None)
     key = jax.random.PRNGKey(seed)
 
     sino_clean = jax.jit(op.matvec)(img)

@@ -45,6 +45,7 @@ def prox_lmc_deconv(
     outdir: str = "fig",
     make_plots: bool = True,
     collect_metrics: bool = True,
+    show: bool = False,
     platform: str = "",
 ):
     import jax
@@ -122,13 +123,23 @@ def prox_lmc_deconv(
             cost = lambda x: proxf(x) + proxg(grad_op.matvec(x))
         else:
             cost = lambda x: proxf(x) + proxg(x)
-        return {
+        out = {
             "cost": cost,
             "err": lambda x: jnp.linalg.norm((x - img).ravel()),
             "snr": lambda x: snr_fn(img, x),
             "psnr": lambda x: psnr_fn(img, x),
             "mse": lambda x: mse_fn(img, x),
         }
+        if show:
+            # the reference's per-iteration show-table components
+            # (f, g(A x), J — algs.py:459-467 for ULPDA, 576-583 for
+            # MYULA; z^T x is 0 here, z=None as in the workload)
+            out["f"] = lambda x: proxf(x)
+            out["gA"] = (
+                (lambda x: proxg(grad_op.matvec(x))) if pd
+                else (lambda x: proxg(x))
+            )
+        return out
 
     results, series, timings = {}, {}, {}
 
@@ -205,6 +216,15 @@ def prox_lmc_deconv(
         results[label] = np.asarray(est)
         if met is not None:
             series[label] = met
+            if show and "f" in met:
+                # reference show=True table (iter, f, g(Ax), J) with the
+                # first-10 / last-10 / every-n/10 thinning policy
+                from lmc_atomi_tpu.utils.trace import print_iteration_table
+
+                print(f"-- {label} --")
+                print_iteration_table(
+                    {"f": met["f"], "g(Ax)": met["gA"], "J": met["cost"]}
+                )
 
     branch = "MAP" if compute_map else alg
     report = {}

@@ -49,6 +49,8 @@ def pnp_ula_deblur(
     train_only: bool = False,
     chain_offset: int = 0,
     moments_out: str = "",
+    tv_baseline: bool = True,
+    tau_tv_baseline: float = 2.0,
 ):
     import jax
 
@@ -206,6 +208,52 @@ def pnp_ula_deblur(
         "lipschitz_certified_bound": lip_bound,
         "lipschitz_measured": float(lip_measured),
     }
+
+    tv_mean = None
+    if tv_baseline:
+        # Anchor row (round-3 VERDICT item 5): TV-MYULA on the IDENTICAL
+        # observation / blur / noise / step budget, so the PnP posterior
+        # mean is read against what a hand-crafted prior buys on the same
+        # problem (the reference always reports model comparisons
+        # side-by-side, prox_lmc_deconv.py:707-735).
+        from lmc_atomi_tpu.kernels import myula_imaging, sep_fused_supported
+        from lmc_atomi_tpu.kernels.myula_fused import run_myula_tv_fused
+        from lmc_atomi_tpu.ops.functionals import TVNorm
+
+        gamma_tv = sigma**2
+        tau_step = 0.2 * gamma_tv
+        t0 = time.perf_counter()
+        if sep_fused_supported(blur, y.shape, dtype):
+            res_tv = jax.jit(
+                lambda x, k: run_myula_tv_fused(
+                    l2, tau_tv_baseline, tau_step, gamma_tv, x, k, n_steps,
+                    burn_in=burn_in, quantiles=(0.025, 0.975),
+                )
+            )(y, jax.random.fold_in(ks, 999))
+            tv_ci = float(
+                jnp.mean(
+                    res_tv.quantiles[0.975] - res_tv.quantiles[0.025]
+                )
+            )
+        else:
+            res_tv = run_chain(
+                myula_imaging(
+                    l2, TVNorm(sigma=tau_tv_baseline, niter=10),
+                    tau=tau_step, gamma=gamma_tv,
+                ),
+                y, jax.random.fold_in(ks, 999), n_steps,
+                collect="stats", burn_in=burn_in,
+            )
+            tv_ci = float(2 * ci_z * jnp.mean(res_tv.moments.std))
+        jax.block_until_ready(res_tv.moments.mean)
+        tv_mean = np.asarray(res_tv.moments.mean)
+        report["psnr_tv_baseline_mean"] = float(
+            psnr_fn(img, jnp.asarray(tv_mean, dtype))
+        )
+        report["tv_baseline_ci_width"] = tv_ci
+        report["tv_baseline_steps_per_sec"] = round(
+            n_steps / (time.perf_counter() - t0), 1
+        )
     print(json.dumps({"workload": "pnp_ula_deblur", "size": size,
                       "n_chains": n_chains, "steps": n_steps, **report}))
     if moments_out:
@@ -227,6 +275,10 @@ def pnp_ula_deblur(
                 "Blurred": np.asarray(y),
                 "PnP-ULA posterior mean": mean,
                 "Posterior std (CI map)": std,
+                **(
+                    {"TV-MYULA mean (same config)": tv_mean}
+                    if tv_mean is not None else {}
+                ),
             },
             f"{outdir}/fig_pnp_ula_{size}_{n_steps}.pdf",
         )

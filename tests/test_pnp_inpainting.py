@@ -49,7 +49,7 @@ def test_inpainting_workload_small(tmp_path):
         size=32, n_steps=600, burn_in=100, outdir=str(tmp_path),
         make_plots=False,
     )
-    assert set(results) == {"MYULA", "MALA"}
+    assert set(results) == {"MYULA", "MALA", "ULPDA-wavelet"}
     # posterior means must beat the masked observation
     assert summary["report"]["MYULA"]["psnr"] > summary["report"]["observed"]["psnr"]
     assert summary["report"]["MALA"]["psnr"] > summary["report"]["observed"]["psnr"]
