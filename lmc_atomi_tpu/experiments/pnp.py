@@ -51,6 +51,7 @@ def pnp_ula_deblur(
     moments_out: str = "",
     tv_baseline: bool = True,
     tau_tv_baseline: float = 2.0,
+    tv_steps: int = 0,  # 0 -> n_steps; a longer budget converges the anchor
 ):
     import jax
 
@@ -222,11 +223,12 @@ def pnp_ula_deblur(
 
         gamma_tv = sigma**2
         tau_step = 0.2 * gamma_tv
+        n_tv = tv_steps or n_steps
         t0 = time.perf_counter()
         if sep_fused_supported(blur, y.shape, dtype):
             res_tv = jax.jit(
                 lambda x, k: run_myula_tv_fused(
-                    l2, tau_tv_baseline, tau_step, gamma_tv, x, k, n_steps,
+                    l2, tau_tv_baseline, tau_step, gamma_tv, x, k, n_tv,
                     burn_in=burn_in, quantiles=(0.025, 0.975),
                 )
             )(y, jax.random.fold_in(ks, 999))
@@ -241,7 +243,7 @@ def pnp_ula_deblur(
                     l2, TVNorm(sigma=tau_tv_baseline, niter=10),
                     tau=tau_step, gamma=gamma_tv,
                 ),
-                y, jax.random.fold_in(ks, 999), n_steps,
+                y, jax.random.fold_in(ks, 999), n_tv,
                 collect="stats", burn_in=burn_in,
             )
             tv_ci = float(2 * ci_z * jnp.mean(res_tv.moments.std))
@@ -252,7 +254,7 @@ def pnp_ula_deblur(
         )
         report["tv_baseline_ci_width"] = tv_ci
         report["tv_baseline_steps_per_sec"] = round(
-            n_steps / (time.perf_counter() - t0), 1
+            n_tv / (time.perf_counter() - t0), 1
         )
     print(json.dumps({"workload": "pnp_ula_deblur", "size": size,
                       "n_chains": n_chains, "steps": n_steps, **report}))

@@ -310,7 +310,7 @@ def _block_kernel(
     int_ref,
     xo_ref, meano_ref, m2o_ref, qho_ref, qno_ref,
     *, taps, oy, ox, n_steps, niter_tv, tv_step, with_noise, with_stats,
-    mode, niter_inner, tv_warm, quantiles,
+    mode, niter_inner, tv_warm, quantiles, quantile_thin,
 ):
     from jax.experimental.pallas import tpu as pltpu
 
@@ -338,10 +338,13 @@ def _block_kernel(
     warm_env = tv_warm and mode == "metv"
     n_q = len(quantiles)
 
-    def one_step(i, carry, xi):
+    def one_step(i, carry, xi, do_q=True):
         # carry is a nested pytree: (x, mean, m2, tv_dual, env_dual, qstate)
         # where tv_dual/env_dual are () or (py, px), and qstate is a tuple of
-        # per-quantile ((q0..q4), (n0..n4)) marker-field pairs.
+        # per-quantile ((q0..q4), (n1..n3)) marker-field pairs. ``do_q`` is
+        # STATIC — quantile_thin > 1 runs the P^2 update only on group-final
+        # sub-steps (autocorrelated chains lose almost nothing to thinned
+        # quantile streams, and the update is ~half the CI step cost).
         x, mean, m2, tv_dual, env_dual, qstate = carry
         grad = gscale * _sep_gram(x, taps, oy, ox, pltpu) - atbs
         if mode == "mctv":
@@ -387,12 +390,16 @@ def _block_kernel(
             delta = x_new - mean
             mean = mean + wf * delta / denom
             m2 = m2 + wf * delta * (x_new - mean)
-        if n_q:
-            # P^2 observation count BEFORE this step = GLOBAL post-burn
-            # steps so far (continues across segmented runs via step_offset,
-            # unlike the Welford count which restarts per run for Chan
-            # merging)
-            c_prev = jnp.maximum(g - burn, 0)
+        if n_q and do_q:
+            # P^2 observation count BEFORE this step = GLOBAL recorded
+            # observations so far: steps g' in [burn, g) with
+            # (g'+1) % thin == 0, i.e. g//thin - burn//thin (continues
+            # across segmented runs via step_offset, unlike the Welford
+            # count which restarts per run for Chan merging; thin=1
+            # reduces to g - burn)
+            c_prev = jnp.maximum(
+                g // quantile_thin - burn // quantile_thin, 0
+            )
             qstate = tuple(
                 _p2_update(x_new, qs, ns, c_prev, w, p)
                 for (qs, ns), p in zip(qstate, quantiles)
@@ -413,6 +420,40 @@ def _block_kernel(
         xi1, xi2 = _box_muller2(x.shape, dtype, pltpu)
         carry = one_step(2 * j, carry, xi1)
         return one_step(2 * j + 1, carry, xi2)
+
+    # thinned quantiles: unroll `group` sub-steps per loop iteration so the
+    # record positions ((u+1) % thin == 0) are STATIC — the P^2 update is
+    # simply absent from the other sub-steps' code. Requires the caller to
+    # align step0 and n_steps to `group` (run_myula_tv_fused enforces it).
+    q_group = 0
+    if n_q and quantile_thin > 1:
+        q_group = (
+            quantile_thin * 2 if (with_noise and quantile_thin % 2)
+            else quantile_thin
+        )
+
+        def group_body(jj, carry):
+            base = q_group * jj
+            u = 0
+            while u < q_group:
+                if with_noise:
+                    xi1, xi2 = _box_muller2(x.shape, dtype, pltpu)
+                    carry = one_step(
+                        base + u, carry, xi1,
+                        do_q=(u + 1) % quantile_thin == 0,
+                    )
+                    carry = one_step(
+                        base + u + 1, carry, xi2,
+                        do_q=(u + 2) % quantile_thin == 0,
+                    )
+                    u += 2
+                else:
+                    carry = one_step(
+                        base + u, carry, None,
+                        do_q=(u + 1) % quantile_thin == 0,
+                    )
+                    u += 1
+            return carry
 
     if with_stats:
         mean0, m20 = mean_ref[:], m2_ref[:]
@@ -436,7 +477,14 @@ def _block_kernel(
     else:
         qstate0 = ()
     carry0 = (x, mean0, m20, tv_dual0, env_dual0, qstate0)
-    if with_noise and n_steps % 2 == 0:
+    if q_group:
+        if n_steps % q_group:
+            raise ValueError(
+                f"n_steps={n_steps} not aligned to quantile group "
+                f"{q_group} (thin={quantile_thin})"
+            )
+        out = jax.lax.fori_loop(0, n_steps // q_group, group_body, carry0)
+    elif with_noise and n_steps % 2 == 0:
         out = jax.lax.fori_loop(0, n_steps // 2, pair_body, carry0)
     else:
         out = jax.lax.fori_loop(0, n_steps, step_body, carry0)
@@ -459,7 +507,7 @@ def _block_kernel(
     static_argnames=(
         "taps", "oy", "ox", "n_steps", "niter_tv", "tv_step",
         "with_noise", "with_stats", "interpret", "mode", "niter_inner",
-        "tv_warm", "quantiles",
+        "tv_warm", "quantiles", "quantile_thin",
     ),
 )
 def myula_tv_block_update(
@@ -468,6 +516,7 @@ def myula_tv_block_update(
     tv_step: float = 0.25, with_noise: bool = True, with_stats: bool = True,
     interpret: bool = False, mode: str = "tv", niter_inner: int = 10,
     tv_warm: bool = False, quantiles: Tuple[float, ...] = (),
+    quantile_thin: int = 1,
 ):
     """``n_steps`` fused MYULA steps (+ optional in-kernel Welford / P^2).
 
@@ -501,7 +550,7 @@ def myula_tv_block_update(
         taps=taps, oy=oy, ox=ox, n_steps=n_steps, niter_tv=niter_tv,
         tv_step=tv_step, with_noise=with_noise, with_stats=with_stats,
         mode=mode, niter_inner=niter_inner, tv_warm=tv_warm,
-        quantiles=quantiles,
+        quantiles=quantiles, quantile_thin=quantile_thin,
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -672,6 +721,7 @@ def run_myula_tv_fused(
     interpret: bool = False,
     tv_warm: bool = False,
     quantiles: Tuple[float, ...] = (),
+    quantile_thin: int = 1,
     quantile_state=None,
     step_offset: int = 0,
 ):
@@ -711,6 +761,30 @@ def run_myula_tv_fused(
         block = min(n_steps, 256)
     while n_steps % block:
         block -= 1
+    if quantiles and quantile_thin > 1:
+        # thinned P^2 record positions are static in the kernel, so block
+        # boundaries (and the run's start step) must align to the group
+        group = (
+            quantile_thin * 2
+            if (noise_scale != 0.0 and quantile_thin % 2)
+            else quantile_thin
+        )
+        if n_steps % group:
+            raise ValueError(
+                f"n_steps={n_steps} must be a multiple of the quantile "
+                f"group {group} (quantile_thin={quantile_thin})"
+            )
+        # largest block <= requested that is a multiple of group AND
+        # divides n_steps (b = group always qualifies)
+        b = max(block - block % group, group)
+        while n_steps % b:
+            b -= group
+        block = b
+        if isinstance(step_offset, int) and step_offset % quantile_thin:
+            raise ValueError(
+                f"step_offset={step_offset} must align to "
+                f"quantile_thin={quantile_thin}"
+            )
     n_blocks = n_steps // block
     key = as_key(key)
     x0 = jnp.asarray(x0)
@@ -740,6 +814,7 @@ def run_myula_tv_fused(
             with_noise=noise_scale != 0.0, with_stats=True,
             interpret=interpret, mode=mode, niter_inner=niter_inner,
             tv_warm=tv_warm, quantiles=quantiles,
+            quantile_thin=quantile_thin,
         )
         return (x, mean, m2, qh, qn), None
 

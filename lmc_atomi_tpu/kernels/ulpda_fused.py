@@ -9,9 +9,16 @@ PSFs of the deconvolution workload the gram matvec is a handful of VPU
 roll multiply-adds (kernels/myula_fused.py::_sep_gram), and the normal
 system's spectrum lies in ``[1, 1 + tau sigma lambda_max(A^T A)]`` —
 condition ~2 at the reference step sizes — so a fixed-trip Chebyshev
-semi-iteration warm-started at the current iterate reaches f32 accuracy
-in ~8 sweeps (no scalar reductions on the VPU; CG's dot products would
-serialize it). So the ENTIRE
+semi-iteration warm-started at the current iterate converges fast (no
+scalar reductions on the VPU; CG's dot products would serialize it).
+Default 6 sweeps: worst-case contraction 7.7e-5, and because the warm
+start already sits within O(noise) of the solution the chain-level
+effect is unmeasurable — 512^2 TV posterior-mean PSNR matches the
+unfused exact-spectral-solve path within 0.005 dB at 10k steps (8
+sweeps matches round-2's Richardson-12 exactly-ish at 2e-6; even 3
+sweeps held 0.004 dB, documented in RESULTS.md). Measured 512^2
+throughput: 20.4k iters/s at 6 sweeps vs 11.7k for round-2's
+Richardson-12. So the ENTIRE
 primal-dual step — dual L21/L1 projection, gradient/divergence stencils,
 the gram solve, concave MC-TV/ME-TV linearization, extrapolation, on-core
 Box-Muller noise, streaming Welford moments — fuses into ONE Pallas kernel
@@ -270,7 +277,7 @@ def _ulpda_kernel(
 def ulpda_block_update(
     x, py, px, xbar, atb, mean, m2, seed, scal_f, scal_i, *,
     taps: Taps, oy: int, ox: int, lam: float = 1.0, n_steps: int = 1,
-    niter_solve: int = 8,
+    niter_solve: int = 6,
     tv_step: float = 0.25, gfirst: bool = False, dual: str = "l21",
     mode: str = "tv", niter_inner: int = 10, with_noise: bool = True,
     with_stats: bool = True, interpret: bool = False,
@@ -367,7 +374,7 @@ def ulpda_sep_fused(
     mu,
     theta: float = 1.0,
     gfirst: bool = False,
-    niter_solve: int = 8,
+    niter_solve: int = 6,
     base_seed: int = 0,
     noise_scale: float = 1.0,
     interpret: bool = False,
@@ -427,7 +434,7 @@ def run_ulpda_fused(
     *,
     theta: float = 1.0,
     gfirst: bool = False,
-    niter_solve: int = 8,
+    niter_solve: int = 6,
     burn_in: int = 0,
     block: Optional[int] = None,
     noise_scale: float = 1.0,

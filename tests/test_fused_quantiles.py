@@ -141,6 +141,45 @@ class TestFusedQuantiles:
             )
             assert int(refs[p].count) == steps - burn
 
+    @pytest.mark.parametrize("thin", [2, 3])
+    def test_thinned_quantiles_match_thinned_reference(self, thin):
+        """quantile_thin=k records only every k-th post-burn step (static
+        sub-step positions); the maps must equal a RunningQuantile driven
+        by exactly those positions of the SAME trajectory."""
+        img, l2, tau, gamma = _problem()
+        x0 = jnp.zeros_like(img)
+        steps, burn = 18 if thin == 3 else 16, 3
+        res = run_myula_tv_fused(
+            l2, 0.3, tau, gamma, x0, jax.random.PRNGKey(1), steps,
+            block=6 if thin == 3 else 8, burn_in=burn, noise_scale=0.0,
+            quantiles=self.PS, quantile_thin=thin, interpret=not ON_TPU,
+        )
+        refs = {p: RunningQuantile.init(img.shape, p, jnp.float32)
+                for p in self.PS}
+        x = x0
+        for i in range(steps):
+            one = run_myula_tv_fused(
+                l2, 0.3, tau, gamma, x, jax.random.PRNGKey(1), 1,
+                block=1, noise_scale=0.0, interpret=not ON_TPU,
+            )
+            x = one.final_state.position
+            if i >= burn and (i + 1) % thin == 0:
+                refs = {p: q.update(x) for p, q in refs.items()}
+        for p in self.PS:
+            np.testing.assert_allclose(
+                np.asarray(res.quantiles[p]), np.asarray(refs[p].value),
+                atol=2e-5,
+            )
+
+    def test_thin_misalignment_rejected(self):
+        img, l2, tau, gamma = _problem()
+        with pytest.raises(ValueError, match="multiple of the quantile"):
+            run_myula_tv_fused(
+                l2, 0.3, tau, gamma, jnp.zeros_like(img),
+                jax.random.PRNGKey(1), 10, quantiles=self.PS,
+                quantile_thin=4, noise_scale=0.0, interpret=not ON_TPU,
+            )
+
     def test_segmented_continuation_matches_straight(self):
         """quantile_state + step_offset continue the P^2 stream across run
         calls exactly (noise off -> bit-comparable)."""

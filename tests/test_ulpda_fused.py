@@ -258,6 +258,34 @@ class TestFusedUlpdaNoiseTPU:
         ks = stats.kstest(xi[::7][:8192], "norm")
         assert ks.pvalue > 1e-3, f"KS p={ks.pvalue}"
 
+    def test_default_chebyshev_sweeps_psnr_gate(self):
+        """The default 6-sweep Chebyshev gram solve must hold posterior-mean
+        PSNR within 0.1 dB of a 20-sweep (effectively exact) fused chain on
+        the SAME noise stream at 256^2 — the gate behind shipping 6 as the
+        default (measured +0.005 dB vs the unfused exact-solve path)."""
+        from lmc_atomi_tpu.eval.metrics import psnr
+
+        img, blur, y, sigma, tau, mu = _problem(n=256)
+        proxf, proxg = _terms("tv", blur, y, sigma)
+        a_op = Gradient2D()
+        steps = 10000
+        x0 = jnp.zeros_like(img)
+        res6 = jax.jit(
+            lambda x, k: run_ulpda_fused(
+                proxf, proxg, a_op, tau, mu, x, k, steps, block=250,
+                burn_in=1000, niter_solve=6,
+            )
+        )(x0, jax.random.PRNGKey(1))
+        res20 = jax.jit(
+            lambda x, k: run_ulpda_fused(
+                proxf, proxg, a_op, tau, mu, x, k, steps, block=250,
+                burn_in=1000, niter_solve=20,
+            )
+        )(x0, jax.random.PRNGKey(1))
+        p6 = float(psnr(img, res6.moments.mean))
+        p20 = float(psnr(img, res20.moments.mean))
+        assert abs(p6 - p20) < 0.1, (p6, p20)
+
     def test_psnr_parity_with_threefry_path(self):
         """Posterior-mean PSNR of the fused noisy ULPDA chain within 0.15 dB
         of the unfused threefry path (equivalent-but-distinct streams)."""
