@@ -26,6 +26,7 @@ __all__ = [
     "sliced_w2",
     "exact_w2",
     "exact_w2_assignment",
+    "exact_w2_multiscale",
     "w2_prefix_curve",
     "w2_prefix_curve_exact",
 ]
@@ -144,6 +145,79 @@ def exact_w2(x, y):
     raise RuntimeError(
         "exact W2 with unequal sizes requires the native EMD library"
     )
+
+
+def _lloyd(x, k: int, key, iters: int):
+    """On-device k-means (Lloyd) quantization of an empirical measure.
+
+    Returns (centroids (k,d), weights (k,), mean squared quantization
+    error). The quantization error IS the exact squared-W2 cost of the
+    transport plan sending every point to its centroid, so sqrt(err)
+    upper-bounds W2(x, x_quantized)."""
+    n = x.shape[0]
+    c0 = x[jax.random.choice(key, n, (k,), replace=False)]
+
+    def assign_sq(c):
+        return pairwise_sq_dists(x, c)  # (n, k)
+
+    def body(_, c):
+        onehot = jax.nn.one_hot(
+            jnp.argmin(assign_sq(c), axis=1), k, dtype=x.dtype
+        )
+        counts = onehot.sum(axis=0)
+        sums = onehot.T @ x
+        return jnp.where(
+            counts[:, None] > 0,
+            sums / jnp.maximum(counts, 1.0)[:, None],
+            c,
+        )
+
+    c = jax.lax.fori_loop(0, iters, body, c0)
+    d2 = assign_sq(c)
+    onehot = jax.nn.one_hot(jnp.argmin(d2, axis=1), k, dtype=x.dtype)
+    w = onehot.sum(axis=0) / n
+    return c, w, jnp.mean(jnp.min(d2, axis=1))
+
+
+def exact_w2_multiscale(x, y, k: int = 4096, key=None, kmeans_iters: int = 20):
+    """Exact W2 *beyond* the reference's 10k-point cap (lmc.py:403-406) via
+    measure quantization: Lloyd k-means on device (MXU distance matmuls),
+    then the native weighted network-simplex EMD (native/emd.cpp) between
+    the k-point quantized measures — O(k^2) simplex instead of O(n^2).
+
+    Returns ``(w2_sq_hat, err)``: the exact squared W2 between the
+    quantized measures, and a *certified* triangle-inequality radius in the
+    (unsquared) W2 metric:
+
+        |W2(x, y) - sqrt(w2_sq_hat)| <= err,
+        err = W2(x, x_hat) + W2(y, y_hat) <= sqrt(qerr_x) + sqrt(qerr_y)
+
+    since transporting each point to its k-means centroid is a feasible
+    (generally suboptimal) coupling. With ``k >= n`` every point is its own
+    centroid and err is ~0 (it reduces to the exact answer)."""
+    from lmc_atomi_tpu.eval import emd_native
+
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    kx, ky = jax.random.split(key)
+    quant = jax.jit(_lloyd, static_argnums=(1, 3))
+    kq_x = min(k, x.shape[0])
+    kq_y = min(k, y.shape[0])
+    cx, wx, qx = quant(x, kq_x, kx, kmeans_iters)
+    cy, wy, qy = quant(y, kq_y, ky, kmeans_iters)
+    cost = np.asarray(pairwise_sq_dists(cx, cy), np.float64)
+    wx = np.asarray(wx, np.float64)
+    wy = np.asarray(wy, np.float64)
+    # k-means can leave empty clusters (zero weight): drop them, the
+    # network simplex wants strictly feasible supplies
+    ix, iy = wx > 0, wy > 0
+    val, _ = emd_native.emd2(
+        wx[ix] / wx[ix].sum(), wy[iy] / wy[iy].sum(), cost[np.ix_(ix, iy)]
+    )
+    err = float(np.sqrt(max(float(qx), 0.0)) + np.sqrt(max(float(qy), 0.0)))
+    return float(val), err
 
 
 def w2_prefix_curve_exact(

@@ -104,13 +104,29 @@ def ct_tv_myula(
         # driven through the Radon data term).
         from lmc_atomi_tpu.ops.functionals import L21Norm
         from lmc_atomi_tpu.ops.linops import Gradient2D
-        from lmc_atomi_tpu.run.optimize import adaptive_pdhg
-
-        grad_op = Gradient2D()
-        tau0 = 0.95 / lips
-        out = adaptive_pdhg(
-            l2, L21Norm(sigma=tau_tv), grad_op, x0, tau0, 1.0, niter_map
+        from lmc_atomi_tpu.run.optimize import (
+            adaptive_pdhg_segmented,
+            fista_segmented,
         )
+
+        tau0 = 0.95 / lips
+        if op.mode == "shear":
+            # no closed-form gram solve at shear scale: PDHG's L2 prox
+            # falls back to 50-trip CG (~1.5 s/iter at 256^2/90 — trips
+            # the tunnel kill). FISTA solves the identical TV-LS
+            # objective at one matvec+rmatvec per iteration, segmented.
+            from lmc_atomi_tpu.ops.tv import prox_tv_iso
+
+            out = fista_segmented(
+                l2.grad,
+                lambda x, t: prox_tv_iso(x, t * tau_tv, niter=20),
+                x0, gamma, niter_map, segment_steps=100,
+            )
+        else:
+            out = adaptive_pdhg_segmented(
+                l2, L21Norm(sigma=tau_tv), Gradient2D(), x0, tau0, 1.0,
+                niter_map, segment_steps=50,
+            )
         map_est = np.asarray(out.x)
         report["psnr_map_tv"] = float(psnr_fn(img, out.x))
 

@@ -218,7 +218,10 @@ class Radon2D(LinOp):
 
     def matvec(self, x):
         if self.mode == "shear":
-            return self._project_shear(x)
+            # jitted wrapper: the shear path's complex FFT intermediates
+            # must exist only inside a compiled computation — the axon TPU
+            # runtime rejects complex64 at the eager-op boundary
+            return _shear_matvec_jit(self, x)
         if self.dense is not None:
             n_angles = self.thetas.shape[0]
             out = jnp.dot(self.dense, x.ravel(),
@@ -228,10 +231,7 @@ class Radon2D(LinOp):
 
     def rmatvec(self, sino):
         if self.mode == "shear":
-            zero = jnp.zeros(self.shape, sino.dtype)
-            transpose = jax.linear_transpose(self._project_shear, zero)
-            (out,) = transpose(sino)
-            return out
+            return _shear_rmatvec_jit(self, sino)
         if self.dense is not None:
             out = jnp.dot(sino.ravel(), self.dense,
                           precision=jax.lax.Precision.HIGHEST)
@@ -240,3 +240,16 @@ class Radon2D(LinOp):
         transpose = jax.linear_transpose(self._project, zero)
         (out,) = transpose(sino)
         return out
+
+
+@jax.jit
+def _shear_matvec_jit(op: Radon2D, x):
+    return op._project_shear(x)
+
+
+@jax.jit
+def _shear_rmatvec_jit(op: Radon2D, sino):
+    zero = jnp.zeros(op.shape, sino.dtype)
+    transpose = jax.linear_transpose(op._project_shear, zero)
+    (out,) = transpose(sino)
+    return out

@@ -122,3 +122,33 @@ def test_scale_3k_matches_sinkhorn():
     vs = float(sinkhorn_w2(jnp.asarray(xs), jnp.asarray(ys)))
     ve_s = exact_w2(xs, ys)
     assert abs(vs - ve_s) / ve_s < 0.02
+
+
+def test_multiscale_brackets_exact():
+    """Quantized exact W2 (k-means + weighted network simplex) must bracket
+    the full-resolution exact W2 within its certified triangle-inequality
+    radius, and tighten as k grows."""
+    from lmc_atomi_tpu.eval.wasserstein import exact_w2, exact_w2_multiscale
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(1500, 2))
+    y = rng.normal(size=(1500, 2)) * 1.3 + np.asarray([2.0, 0.0])
+    w_true = np.sqrt(exact_w2(x, y))
+    errs = []
+    for k in (64, 256):
+        v, err = exact_w2_multiscale(x, y, k=k)
+        assert abs(np.sqrt(v) - w_true) <= err + 1e-9, (k, v, err, w_true)
+        errs.append(err)
+    assert errs[1] < errs[0]  # finer quantization -> tighter certificate
+    assert errs[1] < 0.35 * w_true  # and the k=256 radius is usefully small
+
+
+def test_multiscale_k_ge_n_reduces_to_exact():
+    from lmc_atomi_tpu.eval.wasserstein import exact_w2, exact_w2_multiscale
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(120, 3))
+    y = rng.normal(size=(150, 3)) + 0.7
+    v, err = exact_w2_multiscale(x, y, k=256)
+    np.testing.assert_allclose(v, exact_w2(x, y), rtol=1e-5)
+    assert err < 1e-3

@@ -214,3 +214,57 @@ class TestWaveletDualUlpda:
         err = float(jnp.abs(res.moments.mean - mapx).mean())
         assert err < 0.5 * sigma, err
         assert bool(jnp.isfinite(res.moments.variance).all())
+
+
+def test_adaptive_pdhg_segmented_equals_straight():
+    """Host-chained segments must reproduce the single-scan run exactly —
+    the full carry (x, y, tau_k, mu_k, alpha) crosses segment boundaries
+    (the property that lets 256^2 CT MAP dodge the tunnel kill limit)."""
+    from lmc_atomi_tpu.run.optimize import adaptive_pdhg_segmented
+
+    img, H, y = setup_problem()
+    l2 = L2Data(op=H, b=y, sigma=1.0 / 0.02**2)
+    l21 = L21Norm(sigma=5.0)
+    G = Gradient2D()
+    tau = 0.9 / np.sqrt(8.0)
+    x0 = jnp.zeros((N, N), jnp.float64)
+    met = {"obj": lambda x: l2(x)}
+
+    straight = adaptive_pdhg(l2, l21, G, x0, tau, 1.0, niter=120, metrics=met)
+    seg = adaptive_pdhg_segmented(
+        l2, l21, G, x0, tau, 1.0, niter=120, segment_steps=50, metrics=met
+    )
+    np.testing.assert_array_equal(np.asarray(straight.x), np.asarray(seg.x))
+    np.testing.assert_array_equal(
+        np.asarray(straight.metrics["obj"]), np.asarray(seg.metrics["obj"])
+    )
+
+
+def test_fista_segmented_equals_straight():
+    from lmc_atomi_tpu.ops.tv import prox_tv_iso
+    from lmc_atomi_tpu.run.optimize import fista, fista_segmented
+
+    img, H, y = setup_problem()
+    l2 = L2Data(op=H, b=y, sigma=1.0 / 0.02**2)
+    prox_g = lambda x, t: prox_tv_iso(x, t * 5.0, niter=10)
+    lips = float(H.max_gram_eig()) / 0.02**2
+    x0 = jnp.zeros((N, N), jnp.float64)
+    met = {"obj": lambda x: l2(x)}
+
+    straight = fista(l2.grad, prox_g, x0, 1.0 / lips, 90, metrics=met)
+    seg = fista_segmented(
+        l2.grad, prox_g, x0, 1.0 / lips, 90, segment_steps=40, metrics=met
+    )
+    # chaining through init_state is bit-exact under one executable (the
+    # segment jit); vs the UNjitted straight run only XLA fusion rounding
+    # (~1e-15) differs
+    np.testing.assert_allclose(
+        np.asarray(straight.x), np.asarray(seg.x), atol=1e-12, rtol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(straight.metrics["obj"]), np.asarray(seg.metrics["obj"]),
+        rtol=1e-12,
+    )
+    r = fista(l2.grad, prox_g, x0, 1.0 / lips, 40)
+    r = fista(l2.grad, prox_g, x0, 1.0 / lips, 50, init_state=r.state)
+    np.testing.assert_array_equal(np.asarray(r.x), np.asarray(straight.x))
