@@ -26,14 +26,18 @@ OUT = os.path.join(
 
 
 def main(n_chains: int = 64, n_steps: int = 2000, tv_steps: int = 20000,
-         ablation_chains: int = 8, out: str = OUT):
+         tau_tv: float = 15.0, ablation_chains: int = 8, out: str = OUT):
+    # tau_tv=15 is the sweep winner on this observation (20k-step
+    # posterior-mean PSNR: tau 2/5/8/10/15/20 -> 15.9/23.9/25.7/26.1/
+    # 26.2/26.0 dB) — the anchor row must show the best TV can do
     _, _, rep = pnp_ula_deblur(
         size=256, n_chains=n_chains, n_steps=n_steps, params_path=PARAMS,
-        tv_baseline=True, tv_steps=tv_steps, make_plots=False,
+        tv_baseline=True, tau_tv_baseline=tau_tv, tv_steps=tv_steps,
+        make_plots=False,
     )
     report = {
         "n_chains": n_chains, "n_steps": n_steps, "tv_steps": tv_steps,
-        "tau_tv_baseline": 2.0, "ablation_n_chains": ablation_chains,
+        "tau_tv_baseline": tau_tv, "ablation_n_chains": ablation_chains,
         **{k: rep[k] for k in (
             "psnr_posterior_mean", "mean_ci_width",
             "psnr_tv_baseline_mean", "tv_baseline_ci_width",
