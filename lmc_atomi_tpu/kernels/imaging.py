@@ -27,7 +27,7 @@ from lmc_atomi_tpu.core.random import normal_like
 from lmc_atomi_tpu.core.state import SamplerState, StepInfo
 from lmc_atomi_tpu.kernels.base import Kernel, stepsize_at
 
-__all__ = ["ulpda", "myula_imaging", "pnp_ula", "ULPDAExtras"]
+__all__ = ["ulpda", "myula_imaging", "pnp_ula", "score_ula", "ULPDAExtras"]
 
 
 class ULPDAExtras(NamedTuple):
@@ -150,6 +150,48 @@ def pnp_ula(
         if box is not None:
             lw = box_weight if box_weight is not None else eps
             drift = drift + (jnp.clip(x, box[0], box[1]) - x) / lw
+        return state.next(x + t * drift + jnp.sqrt(2 * t) * xi), StepInfo()
+
+    return Kernel(init, step)
+
+
+def score_ula(
+    grad_f: Callable,
+    score: Callable,
+    sigma,
+    tau,
+    alpha: float = 1.0,
+    box: Optional[tuple] = None,
+    box_weight: float = 1.0,
+) -> Kernel:
+    """Posterior Langevin with a learned noise-conditional score prior
+    (models/score.py) — annealed when ``sigma`` is a schedule:
+
+        x <- x - tau_i grad_f(x) + tau_i alpha s_theta(x, sigma_i)
+               + tau_i/lam_box (proj_C(x) - x) + sqrt(2 tau_i) xi
+
+    ``sigma`` and ``tau`` follow the ``stepsize_at`` spec (scalar, per-step
+    array, or callable of the step index), so an annealed-Langevin ladder is
+    just ``sigma=jnp.repeat(sigmas, steps_per_level)`` with the matching
+    ``tau`` schedule (Song & Ermon anneal ``tau_i ∝ sigma_i^2``); a scalar
+    ``sigma`` recovers fixed-level PnP-ULA with ``eps = sigma^2``
+    (Tweedie: ``alpha/eps (D_eps(x)-x) = alpha s_theta(x, sigma)``).
+    Goes beyond the reference (no learned priors there); the fixed-level
+    equivalence is tested against ``pnp_ula`` +
+    ``models.score.score_to_denoiser``.
+    """
+
+    def init(x0):
+        return SamplerState.init(x0)
+
+    def step(state, key):
+        t = stepsize_at(tau, state.step)
+        s = stepsize_at(sigma, state.step)
+        xi = normal_like(key, state.position)
+        x = state.position
+        drift = -grad_f(x) + alpha * score(x, s)
+        if box is not None:
+            drift = drift + (jnp.clip(x, box[0], box[1]) - x) / box_weight
         return state.next(x + t * drift + jnp.sqrt(2 * t) * xi), StepInfo()
 
     return Kernel(init, step)

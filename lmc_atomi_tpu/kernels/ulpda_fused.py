@@ -449,7 +449,13 @@ def run_ulpda_fused(
     Chambolle dual across steps — the same accuracy/throughput trade as
     ``run_myula_tv_fused(tv_warm=True)``; pair it with a reduced
     ``niter_inner`` override (e.g. 5 warm trips vs the data term's cold 10)
-    after checking the parity gates. Cold per launch."""
+    after checking the parity gates. Cold per launch.
+
+    NOTE: with ``gfirst=False`` the extrapolated ``xbar`` is consumed
+    inside the fused step and never re-materialized, so
+    ``final_state.extras.xbar`` is a placeholder valid ONLY for
+    continuing with ``gfirst=False`` (where it is ignored); do not hand
+    the state to a ``gfirst=True`` kernel."""
     (taps, (oy, ox), atb, mode, lamda, gamma_mc, niter_inner_l2, dual,
      lam) = _ulpda_setup(proxf, proxg, tau, mu)
     if niter_inner is None:

@@ -372,6 +372,10 @@ def sec_pnp(lines, pnp_pattern: str):
                 a["tv_baseline_ci_width"],
             ),
             "",
+            "The TV weight is the winner of a sweep on this observation",
+            "(tau 2/5/8/10/15/20 -> 15.9/23.9/25.7/26.1/26.2/26.0 dB at",
+            "20k steps), so the anchor shows the best TV can do.",
+            "",
             f"The learned prior buys **{delta:+.2f} dB** over TV at the",
             "matched config. Prior-strength ablation (same observation,",
             "{} chains): alpha=1.0 -> {:.2f} dB, alpha=0.3 -> {:.2f} dB;".format(
@@ -438,21 +442,27 @@ def sec_ct(lines):
         "PnP-ULA, from the filter-free adjoint backprojection start. The",
         "128^2/30-angle config uses the dense-matrix Radon (MXU matmuls);",
         "256^2/90 angles sits far above the 512 MB dense budget and runs",
-        "on the three-shear FFT projector (`ops/radon.py`, auto-selected):",
+        "on the three-shear FFT projector (`ops/radon.py`, auto-selected).",
+        "Score = annealed score-ULA under the noise-conditional score net",
+        "(models/score.py), the round-3 beyond-DnCNN learned prior:",
         "",
-        "| config | backprojection | TV posterior mean | TV MAP | DnCNN-PnP mean |",
-        "|---|---|---|---|---|",
+        "| config | backprojection | TV posterior mean | TV MAP |"
+        " DnCNN-PnP mean | score-ULA mean |",
+        "|---|---|---|---|---|---|",
     ]
     for size, n_angles in ((128, 30), (256, 90)):
         _, _, rep = ct_tv_myula(
-            size=size, n_angles=n_angles, make_plots=False
+            size=size, n_angles=n_angles, make_plots=False,
+            score_prior=True,
         )
         lines.append(
-            "| {}^2, {} angles | {:.2f} | {:.2f} | {:.2f} | {:.2f} |".format(
+            "| {}^2, {} angles | {:.2f} | {:.2f} | {:.2f} | {:.2f} |"
+            " {:.2f} |".format(
                 size, n_angles,
                 rep["psnr_backprojection"], rep["psnr_posterior_mean"],
                 rep.get("psnr_map_tv", float("nan")),
                 rep.get("psnr_pnp_mean", float("nan")),
+                rep.get("psnr_score_mean", float("nan")),
             )
         )
         print(f"ct {size} done", file=sys.stderr)

@@ -124,3 +124,15 @@ def test_ct_workload_all_branches(tmp_path):
     assert mean.shape == (32, 32)
     for k in ("psnr_posterior_mean", "psnr_map_tv", "psnr_pnp_mean"):
         assert np.isfinite(report[k]), k
+
+
+def test_ct_score_prior_branch(tmp_path):
+    """Annealed score-ULA branch (models/score.py prior), tiny config."""
+    from lmc_atomi_tpu.experiments.ct import ct_tv_myula
+
+    mean, std, report = ct_tv_myula(
+        size=32, n_angles=12, n_steps=40, burn_in=16,
+        compute_map=False, pnp=False, score_prior=True,
+        score_train_steps=5, make_plots=False,
+    )
+    assert np.isfinite(report["psnr_score_mean"])

@@ -1,0 +1,130 @@
+"""Noise-conditional score prior (models/score.py) + score_ula kernel.
+
+Beyond-reference component (learned priors; the reference has none): checks
+are (a) DSM training actually learns (loss drop + noise-direction
+recovery), (b) the fixed-level score_ula chain is EXACTLY the pnp_ula chain
+through the Tweedie adapter, (c) annealed schedules are consumed per-step.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lmc_atomi_tpu.models.score import (
+    ScoreNet,
+    geometric_sigmas,
+    make_score_fn,
+    score_to_denoiser,
+    train_score_net,
+)
+
+
+def test_geometric_sigmas():
+    s = geometric_sigmas(0.5, 0.01, 8)
+    assert s.shape == (8,)
+    assert np.isclose(float(s[0]), 0.5) and np.isclose(float(s[-1]), 0.01)
+    r = np.asarray(s[:-1] / s[1:])
+    assert np.allclose(r, r[0], rtol=1e-5)  # geometric
+
+
+def test_dsm_training_learns_noise_direction():
+    # tiny net / tiny patches: enough to beat the zero-predictor
+    params, apply_fn, sigmas = train_score_net(
+        jax.random.PRNGKey(0), sigma_max=0.4, sigma_min=0.05, n_sigmas=4,
+        patch=16, batch=8, steps=120, depth=4, features=16,
+    )
+    from lmc_atomi_tpu.utils.synthetic import random_phantom_batch
+
+    clean = random_phantom_batch(jax.random.PRNGKey(5), 8, 16)
+    z = jax.random.normal(jax.random.PRNGKey(6), clean.shape, clean.dtype)
+    sig = jnp.full((8,), 0.4, clean.dtype)
+    noisy = clean + 0.4 * z
+    eps_hat = apply_fn(params, noisy, sig)
+    # trained predictor must beat the trivial eps_hat=0 baseline (MSE < 1)
+    mse = float(jnp.mean((eps_hat - z) ** 2))
+    assert mse < 0.95, mse
+    # and align with the true noise direction
+    cos = float(
+        jnp.vdot(eps_hat, z)
+        / (jnp.linalg.norm(eps_hat.ravel()) * jnp.linalg.norm(z.ravel()))
+    )
+    assert cos > 0.2, cos
+
+
+def test_score_fn_shapes_and_scaling():
+    model = ScoreNet(depth=3, features=8)
+    x = jnp.zeros((12, 12))
+    params = model.init(jax.random.PRNGKey(0), x[None], jnp.ones((1,)))
+    score = make_score_fn(params, model.apply)
+    s = score(x, 0.3)
+    assert s.shape == x.shape and np.isfinite(np.asarray(s)).all()
+    # score = -eps_hat/sigma: halving sigma doubles the scale factor for
+    # identical net output only if conditioning were inert; just check the
+    # Tweedie adapter consistency instead, which is the used contract
+    den = score_to_denoiser(score, 0.3)
+    np.testing.assert_allclose(
+        np.asarray(den(x)), np.asarray(x + 0.3**2 * score(x, 0.3)),
+        rtol=1e-6,
+    )
+
+
+def test_fixed_sigma_score_ula_equals_pnp_ula():
+    from lmc_atomi_tpu.core.random import step_key
+    from lmc_atomi_tpu.kernels import pnp_ula, score_ula
+
+    model = ScoreNet(depth=3, features=8)
+    x0 = 0.5 * jnp.ones((10, 10))
+    params = model.init(jax.random.PRNGKey(1), x0[None], jnp.ones((1,)))
+    score = make_score_fn(params, model.apply)
+    sigma, alpha, tau = 0.2, 0.8, 0.01
+    grad_f = lambda x: 2.0 * (x - 0.5)
+
+    k_a = score_ula(grad_f, score, sigma, tau, alpha=alpha,
+                    box=(0.0, 1.0), box_weight=sigma**2)
+    k_b = pnp_ula(grad_f, score_to_denoiser(score, sigma), tau,
+                  eps=sigma**2, alpha=alpha, box=(0.0, 1.0))
+
+    base = jax.random.PRNGKey(7)
+    sa, sb = k_a.init(x0), k_b.init(x0)
+    for i in range(5):
+        sa, _ = k_a.step(sa, step_key(base, i))
+        sb, _ = k_b.step(sb, step_key(base, i))
+    np.testing.assert_allclose(
+        np.asarray(sa.position), np.asarray(sb.position), rtol=1e-5,
+        atol=1e-7,
+    )
+
+
+def test_annealed_schedule_consumed_per_step():
+    from lmc_atomi_tpu.core.random import step_key
+    from lmc_atomi_tpu.kernels import score_ula
+    from lmc_atomi_tpu.run.runner import run_chain
+
+    sig_sched = jnp.asarray([0.4, 0.2, 0.1, 0.05])
+    tau_sched = 0.1 * sig_sched**2  # Song-Ermon tau_i ∝ sigma_i^2
+    # fake score with a sigma-dependent signature we can reconstruct
+    score = lambda x, s: -x * s
+    kern = score_ula(lambda x: 0.0 * x, score, sig_sched, tau_sched,
+                     alpha=1.0)
+    x0 = jnp.ones((6, 6))
+    base = jax.random.PRNGKey(3)
+
+    st = kern.init(x0)
+    x_ref = x0
+    from lmc_atomi_tpu.core.random import normal_like
+
+    for i in range(4):
+        st, _ = kern.step(st, step_key(base, i))
+        t, s = float(tau_sched[i]), float(sig_sched[i])
+        xi = normal_like(step_key(base, i), x_ref)
+        x_ref = x_ref + t * (-x_ref * s) + jnp.sqrt(2 * t) * xi
+    np.testing.assert_allclose(
+        np.asarray(st.position), np.asarray(x_ref), rtol=1e-6
+    )
+
+    # and under the scan-based runner: same endpoint
+    res = run_chain(kern, x0, base, 4, collect="last")
+    np.testing.assert_allclose(
+        np.asarray(res.final_state.position), np.asarray(st.position),
+        rtol=1e-6,
+    )
