@@ -451,11 +451,12 @@ def run_ulpda_fused(
     ``niter_inner`` override (e.g. 5 warm trips vs the data term's cold 10)
     after checking the parity gates. Cold per launch.
 
-    NOTE: with ``gfirst=False`` the extrapolated ``xbar`` is consumed
-    inside the fused step and never re-materialized, so
-    ``final_state.extras.xbar`` is a placeholder valid ONLY for
-    continuing with ``gfirst=False`` (where it is ignored); do not hand
-    the state to a ``gfirst=True`` kernel."""
+    NOTE: ``final_state.extras.xbar`` is the genuine extrapolated iterate
+    in BOTH orders (the kernel carries it even for ``gfirst=False``, where
+    its own dual update has already consumed it).  Continue a
+    ``gfirst=False`` state with a ``gfirst=False`` kernel: handing it to a
+    ``gfirst=True`` kernel would apply a SECOND dual update with the same
+    ``xbar``, which is a different recursion, not a resume."""
     (taps, (oy, ox), atb, mode, lamda, gamma_mc, niter_inner_l2, dual,
      lam) = _ulpda_setup(proxf, proxg, tau, mu)
     if niter_inner is None:
