@@ -45,6 +45,7 @@ def ct_tv_myula(
     make_plots: bool = True,
     radon_mode: str = "",
     platform: str = "",
+    arrays_out: dict = None,
 ):
     import jax
 
@@ -211,6 +212,19 @@ def ct_tv_myula(
         report["psnr_score_mean"] = float(
             psnr_fn(img, jnp.asarray(score_mean, dtype))
         )
+
+    if arrays_out is not None:
+        # branch images for callers composing their own figure panels
+        # (scripts/make_docs_figures.py) — kept out of `report`, which
+        # must stay JSON-serializable
+        arrays_out.update({
+            "img": np.asarray(img), "sino": np.asarray(sino),
+            "backprojection": np.asarray(x0), "mean": mean, "std": std,
+        })
+        for nm, arr in (("map", map_est), ("pnp_mean", pnp_mean),
+                        ("score_mean", score_mean)):
+            if arr is not None:
+                arrays_out[nm] = arr
 
     print(json.dumps({"workload": "ct_tv_myula", "size": size,
                       "n_angles": n_angles, "steps": n_steps, **report}))

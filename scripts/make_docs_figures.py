@@ -78,25 +78,25 @@ def main():
     )
 
     # --- sparse-view CT -------------------------------------------------------
+    # all four reconstruction branches on one panel: TV posterior, TV MAP,
+    # DnCNN-PnP, annealed score-ULA (round-3 learned priors)
     from lmc_atomi_tpu.experiments.ct import ct_tv_myula
-    from lmc_atomi_tpu.ops.radon import Radon2D
 
-    ct_mean, ct_std, _ = ct_tv_myula(
-        n_steps=1000, burn_in=100, compute_map=False, pnp=False,
-        make_plots=False,
+    arrays = {}
+    ct_tv_myula(
+        n_steps=2000, burn_in=200, compute_map=True, pnp=True,
+        score_prior=True, make_plots=False, arrays_out=arrays,
     )
-    ct_img = phantom(128) / 255.0
-    op = Radon2D.create((128, 128), n_angles=30, dtype=jnp.float32)
-    sino = np.asarray(jax.jit(op.matvec)(jnp.asarray(ct_img, jnp.float32)))
-    F.image_grid(
-        {
-            "Ground truth": np.asarray(ct_img),
-            "Sinogram (30 angles)": sino,
-            "TV posterior mean": np.asarray(ct_mean),
-            "Posterior std": np.asarray(ct_std),
-        },
-        f"{outdir}/ct_posterior.png", ncols=4,
-    )
+    panels = {
+        "Ground truth": arrays["img"],
+        "Sinogram (30 angles)": arrays["sino"],
+        "TV posterior mean": arrays["mean"],
+        "Posterior std": arrays["std"],
+        "TV MAP (aPDHG)": arrays["map"],
+        "PnP-ULA mean (DnCNN)": arrays["pnp_mean"],
+        "Score-ULA mean (annealed)": arrays["score_mean"],
+    }
+    F.image_grid(panels, f"{outdir}/ct_posterior.png", ncols=4)
     print("figures written to", outdir)
 
 
