@@ -52,6 +52,9 @@ def pnp_ula_deblur(
     tv_baseline: bool = True,
     tau_tv_baseline: float = 2.0,
     tv_steps: int = 0,  # 0 -> n_steps; a longer budget converges the anchor
+    score_baseline: bool = False,
+    score_train_steps: int = 1500,
+    score_sigma_max: float = 0.4,
 ):
     import jax
 
@@ -151,50 +154,74 @@ def pnp_ula_deblur(
     if n_steps % segment_steps:
         segs.append(n_steps % segment_steps)
 
-    if n_chains > 1:
-        # Chains run in vmapped blocks (DnCNN activations at 1024x256^2
-        # would exceed single-chip HBM); blocks merge into one pooled
-        # streaming estimate, so the statistics are those of all n_chains.
-        # The segment runner is jitted ONCE and reused — eager run_chains
-        # dispatches per scan segment and measured ~10x slower.
-        block = min(chain_block, n_chains)
+    def farm(kern_first, kern_rest, key_base):
+        """Blocked multi-chain segmented farm -> pooled moments.
 
-        run_seg = jax.jit(
-            lambda x, k, nb, ns, bi: run_chains(
-                kern, x, k, ns, n_chains=nb, collect="stats", burn_in=bi,
-                batched=True,
-            ),
-            static_argnums=(2, 3, 4),
-        )
-        pooled = None
-        for b in range(0, n_chains, block):
-            nb = min(block, n_chains - b)  # exact final block size
-            # chain_offset shifts the key stream so separate process
-            # invocations covering disjoint chain ranges never collide
-            bkey = jax.random.fold_in(ks, chain_offset + b)
-            x = jnp.broadcast_to(y, (nb,) + y.shape)
-            for s, ns in enumerate(segs):
-                res = run_seg(x, jax.random.fold_in(bkey, s), nb, ns,
-                              burn_in if s == 0 else 0)
-                jax.block_until_ready(res.moments.mean)
-                x = res.final_state.position
-                part = merge_chain_moments(res.moments)
-                pooled = part if pooled is None else pooled.merge(part)
-    else:
-        run_seg = jax.jit(
-            lambda x, k, ns, bi: run_chain(kern, x, k, ns, collect="stats",
-                                           burn_in=bi),
-            static_argnums=(2, 3),
-        )
+        ``kern_first`` drives segment 0 only — per-step schedules
+        (annealed score-ULA sigma/tau ladders) live entirely inside the
+        first segment because each segment re-inits the kernel state
+        (and its step counter); ``kern_rest`` must be time-invariant.
+        For schedule-free kernels pass the same kernel twice."""
+        jitted = {}
+
+        def run_seg_for(s):
+            tag = 0 if s == 0 else 1
+            if tag not in jitted:
+                kern_s = kern_first if s == 0 else kern_rest
+                if n_chains > 1:
+                    jitted[tag] = jax.jit(
+                        lambda x, k, nb, ns, bi, _kern=kern_s: run_chains(
+                            _kern, x, k, ns, n_chains=nb, collect="stats",
+                            burn_in=bi, batched=True,
+                        ),
+                        static_argnums=(2, 3, 4),
+                    )
+                else:
+                    jitted[tag] = jax.jit(
+                        lambda x, k, ns, bi, _kern=kern_s: run_chain(
+                            _kern, x, k, ns, collect="stats", burn_in=bi,
+                        ),
+                        static_argnums=(2, 3),
+                    )
+            return jitted[tag]
+
+        if n_chains > 1:
+            # Chains run in vmapped blocks (DnCNN activations at
+            # 1024x256^2 would exceed single-chip HBM); blocks merge into
+            # one pooled streaming estimate, so the statistics are those
+            # of all n_chains. Each segment runner is jitted ONCE and
+            # reused — eager run_chains dispatches per scan segment and
+            # measured ~10x slower.
+            block = min(chain_block, n_chains)
+            pooled = None
+            for b in range(0, n_chains, block):
+                nb = min(block, n_chains - b)  # exact final block size
+                # chain_offset shifts the key stream so separate process
+                # invocations covering disjoint chain ranges never collide
+                bkey = jax.random.fold_in(key_base, chain_offset + b)
+                x = jnp.broadcast_to(y, (nb,) + y.shape)
+                for s, ns in enumerate(segs):
+                    res = run_seg_for(s)(
+                        x, jax.random.fold_in(bkey, s), nb, ns,
+                        burn_in if s == 0 else 0,
+                    )
+                    jax.block_until_ready(res.moments.mean)
+                    x = res.final_state.position
+                    part = merge_chain_moments(res.moments)
+                    pooled = part if pooled is None else pooled.merge(part)
+            return pooled
         x, pooled = y, None
         for s, ns in enumerate(segs):
-            res = run_seg(x, jax.random.fold_in(ks, s), ns,
-                          burn_in if s == 0 else 0)
+            res = run_seg_for(s)(x, jax.random.fold_in(key_base, s), ns,
+                                 burn_in if s == 0 else 0)
             jax.block_until_ready(res.moments.mean)
             x = res.final_state.position
             pooled = res.moments if pooled is None else pooled.merge(
                 res.moments
             )
+        return pooled
+
+    pooled = farm(kern, kern, ks)
     dt = time.perf_counter() - t0
 
     mean = np.asarray(pooled.mean)
@@ -256,6 +283,61 @@ def pnp_ula_deblur(
         report["tv_baseline_steps_per_sec"] = round(
             n_tv / (time.perf_counter() - t0), 1
         )
+
+    score_mean = None
+    if score_baseline:
+        # Third prior on the IDENTICAL observation and chain protocol:
+        # annealed score-ULA under the noise-conditional score net
+        # (models/score.py) — anneals the sigma ladder across burn-in
+        # (inside segment 0, see farm()) and holds the finest level
+        # during collection, so the pooled posterior is the fixed-level
+        # score posterior.
+        from lmc_atomi_tpu.kernels import score_ula
+        from lmc_atomi_tpu.models.score import (
+            geometric_sigmas,
+            make_score_fn,
+            train_score_net,
+        )
+
+        t0 = time.perf_counter()
+        s_params, s_apply, _ = train_score_net(
+            jax.random.fold_in(kd, 11), sigma_max=score_sigma_max,
+            sigma_min=denoiser_sigma, n_sigmas=8, steps=score_train_steps,
+        )
+        score = make_score_fn(s_params, s_apply)
+        ladder = geometric_sigmas(score_sigma_max, denoiser_sigma, 8, dtype)
+        n0 = segs[0]
+        anneal = jnp.repeat(ladder, max(burn_in // 8, 1))[:burn_in]
+        anneal = jnp.pad(anneal, (0, burn_in - anneal.shape[0]),
+                         constant_values=float(denoiser_sigma))
+        sig0 = jnp.concatenate([
+            anneal, jnp.full((max(n0 - burn_in, 0),), denoiser_sigma, dtype)
+        ])[:n0]
+        lips_f = 1.0 / sigma**2
+
+        def kern_score(sig_spec):
+            # per-level stability: tau_i = 0.5/(L_data + alpha/sigma_i^2)
+            tau_spec = 0.5 / (lips_f + alpha / sig_spec**2)
+            return score_ula(
+                l2.grad, score, sig_spec, tau_spec, alpha=alpha,
+                box=(-1.0, 2.0), box_weight=denoiser_sigma**2,
+            )
+
+        pooled_sc = farm(
+            kern_score(sig0), kern_score(float(denoiser_sigma)),
+            jax.random.fold_in(ks, 555),
+        )
+        score_mean = np.asarray(pooled_sc.mean)
+        report["psnr_score_mean"] = float(
+            psnr_fn(img, jnp.asarray(score_mean, dtype))
+        )
+        report["score_ci_width"] = float(
+            2 * ci_z * jnp.mean(pooled_sc.std)
+        )
+        report["score_steps_per_sec"] = round(
+            n_steps * n_chains / (time.perf_counter() - t0), 1
+        )
+
     print(json.dumps({"workload": "pnp_ula_deblur", "size": size,
                       "n_chains": n_chains, "steps": n_steps, **report}))
     if moments_out:
@@ -280,6 +362,10 @@ def pnp_ula_deblur(
                 **(
                     {"TV-MYULA mean (same config)": tv_mean}
                     if tv_mean is not None else {}
+                ),
+                **(
+                    {"Score-ULA mean (same config)": score_mean}
+                    if score_mean is not None else {}
                 ),
             },
             f"{outdir}/fig_pnp_ula_{size}_{n_steps}.pdf",

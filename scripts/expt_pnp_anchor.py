@@ -33,7 +33,7 @@ def main(n_chains: int = 64, n_steps: int = 2000, tv_steps: int = 20000,
     _, _, rep = pnp_ula_deblur(
         size=256, n_chains=n_chains, n_steps=n_steps, params_path=PARAMS,
         tv_baseline=True, tau_tv_baseline=tau_tv, tv_steps=tv_steps,
-        make_plots=False,
+        score_baseline=True, make_plots=False,
     )
     report = {
         "n_chains": n_chains, "n_steps": n_steps, "tv_steps": tv_steps,
@@ -41,6 +41,7 @@ def main(n_chains: int = 64, n_steps: int = 2000, tv_steps: int = 20000,
         **{k: rep[k] for k in (
             "psnr_posterior_mean", "mean_ci_width",
             "psnr_tv_baseline_mean", "tv_baseline_ci_width",
+            "psnr_score_mean", "score_ci_width",
             "lipschitz_certified_bound", "lipschitz_measured",
         )},
     }

@@ -371,6 +371,16 @@ def sec_pnp(lines, pnp_pattern: str):
                 a["tau_tv_baseline"], a["psnr_tv_baseline_mean"],
                 a["tv_baseline_ci_width"],
             ),
+        ]
+        if "psnr_score_mean" in a:
+            lines.append(
+                "| annealed score-ULA ({} chains x {} steps, alpha=1.0) "
+                "| {:.2f} | {:.4f} |".format(
+                    a["n_chains"], a["n_steps"],
+                    a["psnr_score_mean"], a["score_ci_width"],
+                )
+            )
+        lines += [
             "",
             "The TV weight is the winner of a sweep on this observation",
             "(tau 2/5/8/10/15/20 -> 15.9/23.9/25.7/26.1/26.2/26.0 dB at",

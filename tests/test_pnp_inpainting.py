@@ -42,6 +42,20 @@ def test_pnp_workload_small(tmp_path):
     assert report["chain_steps_per_sec"] > 0
 
 
+def test_pnp_workload_score_baseline(tmp_path):
+    """Score-ULA third-prior row on the identical observation (farm path,
+    annealed schedules confined to segment 0)."""
+    from lmc_atomi_tpu.experiments.pnp import pnp_ula_deblur
+
+    mean, std, report = pnp_ula_deblur(
+        size=32, train_steps=5, n_steps=60, burn_in=20, n_chains=2,
+        tv_baseline=False, score_baseline=True, score_train_steps=5,
+        outdir=str(tmp_path), make_plots=False,
+    )
+    assert np.isfinite(report["psnr_score_mean"])
+    assert report["score_ci_width"] >= 0.0
+
+
 def test_inpainting_workload_small(tmp_path):
     from lmc_atomi_tpu.experiments.inpainting import wavelet_inpainting
 
