@@ -128,3 +128,30 @@ def test_annealed_schedule_consumed_per_step():
         np.asarray(res.final_state.position), np.asarray(st.position),
         rtol=1e-6,
     )
+
+
+def test_annealed_schedule_survives_segmentation():
+    """run_chain_segmented carries the global step counter, so per-step
+    sigma/tau schedules must NOT restart at segment boundaries — the
+    segmented chain is bit-identical to the monolithic one."""
+    from lmc_atomi_tpu.kernels import score_ula
+    from lmc_atomi_tpu.run.runner import run_chain, run_chain_segmented
+
+    n = 12
+    sig_sched = jnp.linspace(0.5, 0.05, n)
+    tau_sched = 0.1 * sig_sched**2
+    score = lambda x, s: -x * s
+    kern = score_ula(lambda x: 0.1 * x, score, sig_sched, tau_sched)
+    x0 = jnp.ones((5, 5))
+    key = jax.random.PRNGKey(11)
+
+    mono = run_chain(kern, x0, key, n, collect="stats", burn_in=3)
+    seg = run_chain_segmented(kern, x0, key, n, segment_steps=5, burn_in=3)
+    np.testing.assert_array_equal(
+        np.asarray(mono.final_state.position),
+        np.asarray(seg.final_state.position),
+    )
+    np.testing.assert_allclose(
+        np.asarray(mono.moments.mean), np.asarray(seg.moments.mean),
+        rtol=1e-7,
+    )
