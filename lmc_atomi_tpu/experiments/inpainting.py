@@ -37,6 +37,7 @@ def wavelet_inpainting(
     outdir: str = "fig",
     make_plots: bool = True,
     platform: str = "",
+    fused: bool = False,  # adds a MYULA-fused row (haar only; TPU)
 ):
     import jax
 
@@ -118,6 +119,29 @@ def wavelet_inpainting(
             extra["mala_acceptance"] = float(acceptance_rate(res.infos))
             print(f"MALA acceptance: {extra['mala_acceptance']:.3f}",
                   file=sys.stderr)
+
+    if fused and wavelet == "haar":
+        # fully fused Pallas chain (kernels/wavelet_fused.py): in-VMEM
+        # interleaved Haar DWT -> exact soft-threshold prox (layout
+        # invariance) + masked-data gradient + on-core noise + Welford
+        from lmc_atomi_tpu.kernels import run_myula_wavelet_fused
+
+        t0 = time.perf_counter()
+        # off-TPU (tests/smokes) interpret mode still needs noise, which
+        # the interpreter cannot emulate -> run the deterministic MAP-like
+        # chain there; the TPU path samples
+        on_tpu = jax.default_backend() == "tpu"
+        res_f = jax.jit(
+            lambda x, k: run_myula_wavelet_fused(
+                l2, tau_w, tau_step, gamma, x, k, n_steps,
+                levels=levels, burn_in=burn_in,
+                noise_scale=1.0 if on_tpu else 0.0,
+                interpret=not on_tpu,
+            )
+        )(x0, jax.random.fold_in(ks, 7))
+        jax.block_until_ready(res_f.moments.mean)
+        timings["MYULA-fused"] = time.perf_counter() - t0
+        results["MYULA-fused"] = np.asarray(res_f.moments.mean)
 
     report = {
         name: {"psnr": float(psnr_fn(img, jnp.asarray(est, dtype)))}

@@ -6,6 +6,9 @@ from lmc_atomi_tpu.kernels.myula_fused import (
     run_myula_tv_fused,
     sep_fused_supported,
 )
+from lmc_atomi_tpu.kernels.wavelet_fused import (
+    run_myula_wavelet_fused,
+)
 from lmc_atomi_tpu.kernels.ulpda_fused import (
     run_ulpda_fused,
     ulpda_fused_supported,
@@ -64,6 +67,7 @@ __all__ = [
     "score_ula",
     "myula_imaging_sep_fused",
     "run_myula_tv_fused",
+    "run_myula_wavelet_fused",
     "sep_fused_supported",
     "ulpda_sep_fused",
     "run_ulpda_fused",

@@ -1,0 +1,300 @@
+"""Fully fused Pallas MYULA for the wavelet-l1 inpainting posterior.
+
+The unfused 512^2 wavelet-l1 MYULA chain (experiments/inpainting.py,
+BASELINE config 4; reference wavelet workload has no GPU analogue) runs
+~1.1k iters/s: every step round-trips HBM through an XLA DWT, the
+soft-threshold, the masked-data gradient, threefry noise and the moment
+update.  This kernel keeps the image in VMEM across a block of steps and
+fuses
+
+  * an ORTHOGONAL multi-level 2-D Haar DWT computed in interleaved
+    (in-place) layout — each lifting butterfly is a masked
+    ``pltpu.roll`` pair, and the Haar butterfly is an involution, so the
+    same masked pass implements forward and inverse;
+  * the exact wavelet-l1 prox ``W^T soft(W x, thr)``.  Layout
+    invariance: interleaved W equals ``P @ W_mallat`` for a permutation
+    P, and soft-thresholding commutes with permutations, so the prox is
+    EXACTLY the Mallat-layout prox of ``ops/functionals.py::OrthogonalL1``
+    (tested to fp tolerance in tests/test_wavelet_fused.py);
+  * the masked-observation data gradient ``sigma m(mx - y)``
+    (ops/linops.py::Mask), the MYULA update, paired on-core Box-Muller
+    noise, and streaming Welford posterior moments.
+
+Kernel recursion (= kernels/imaging.py::myula_imaging on
+``L2Data(Mask)`` + ``OrthogonalL1(HaarDWT2D)``, reference MYULA
+prox_lmc.py:128-157):
+
+    x <- (1 - tau/gamma) x - tau sigma m(mx - y)
+         + (tau/gamma) W^T soft(W x, epsg gamma lam) + sqrt(2 tau) xi
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from lmc_atomi_tpu.core.random import as_key, step_key
+from lmc_atomi_tpu.core.state import SamplerState
+from lmc_atomi_tpu.core.stats import RunningMoments
+from lmc_atomi_tpu.kernels.myula_fused import (
+    FusedChainResult,
+    _VMEM_LIMIT_BYTES,
+    _box_muller2,
+    _key_seed,
+)
+
+__all__ = [
+    "haar_interleaved",
+    "haar_interleaved_inv",
+    "run_myula_wavelet_fused",
+    "wavelet_block_update",
+]
+
+_SQRT1_2 = 0.7071067811865476
+
+
+def _haar_pass(x, s, axis, iy, ix, roll):
+    """One masked Haar lifting butterfly at stride ``s`` along ``axis``,
+    restricted to the level's LL lattice on the other axis.  Involution:
+    applying it twice is the identity, so it serves forward AND inverse.
+
+    Butterfly (slots p = idx%2s==0, q = idx%2s==s, on the lattice
+    other%s==0):  new[p] = (x[p] + x[q])/sqrt2, new[q] = (x[p] - x[q])/sqrt2.
+    The circular-roll wrap reads are never selected by the masks (n
+    divisible by 2s), so periodic roll is safe.
+    """
+    n = x.shape[axis]
+    idx = iy if axis == 0 else ix
+    other = ix if axis == 0 else iy
+    lat = (other & (s - 1)) == 0 if s > 1 else None
+    r = idx & (2 * s - 1)
+    m0 = r == 0
+    m1 = r == s
+    x_fwd = roll(x, n - s, axis)  # reads x[i + s]
+    x_bwd = roll(x, s, axis)  # reads x[i - s]
+    new = jnp.where(
+        m0,
+        (x + x_fwd) * _SQRT1_2,
+        jnp.where(m1, (x_bwd - x) * _SQRT1_2, x),
+    )
+    return new if lat is None else jnp.where(lat, new, x)
+
+
+def _iotas(shape):
+    iy = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    ix = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    return iy, ix
+
+
+def haar_interleaved(x, levels: int, roll=jnp.roll, iotas=None):
+    """Multi-level orthogonal 2-D Haar DWT in interleaved layout.
+
+    Equivalent to ``ops/wavelet.py::HaarDWT2D.matvec`` up to a fixed
+    permutation of coefficient positions (level-l coefficients live on
+    the stride-2^l lattice instead of Mallat subband blocks)."""
+    iy, ix = _iotas(x.shape) if iotas is None else iotas
+    for lv in range(levels):
+        s = 1 << lv
+        if x.shape[0] % (2 * s) or x.shape[1] % (2 * s):
+            break
+        x = _haar_pass(x, s, 0, iy, ix, roll)
+        x = _haar_pass(x, s, 1, iy, ix, roll)
+    return x
+
+
+def haar_interleaved_inv(c, levels: int, roll=jnp.roll, iotas=None):
+    """Inverse (= transpose: W is orthogonal) of ``haar_interleaved``."""
+    iy, ix = _iotas(c.shape) if iotas is None else iotas
+    for lv in reversed(range(levels)):
+        s = 1 << lv
+        if c.shape[0] % (2 * s) or c.shape[1] % (2 * s):
+            continue
+        c = _haar_pass(c, s, 1, iy, ix, roll)
+        c = _haar_pass(c, s, 0, iy, ix, roll)
+    return c
+
+
+def _wavelet_kernel(
+    x_ref, y_ref, m_ref, mean_ref, m2_ref, seed_ref, scal_ref, int_ref,
+    xo_ref, meano_ref, m2o_ref,
+    *, levels, n_steps, with_noise, with_stats,
+):
+    from jax.experimental.pallas import tpu as pltpu
+
+    x = x_ref[:]
+    y = y_ref[:]
+    mask = m_ref[:]
+    tau = scal_ref[0]
+    gamma = scal_ref[1]
+    sig = scal_ref[2]  # data-term 1/sigma_noise^2
+    thr = scal_ref[3]  # epsg * gamma * lam (soft threshold)
+    noise_scale = scal_ref[4]
+    step0 = int_ref[0]
+    burn = int_ref[1]
+    cnt0 = int_ref[2]
+    dtype = x.dtype
+    iotas = _iotas(x.shape)
+
+    if with_noise:
+        pltpu.prng_seed(seed_ref[0, 0], seed_ref[0, 1])
+    noise_amp = noise_scale * jnp.sqrt(2.0 * tau)
+    a = 1.0 - tau / gamma
+    tg = tau / gamma
+
+    def roll(v, s, axis):
+        return pltpu.roll(v, s, axis)
+
+    def one_step(i, carry, xi):
+        x, mean, m2 = carry
+        grad = sig * mask * (mask * x - y)
+        c = haar_interleaved(x, levels, roll, iotas)
+        c = jnp.sign(c) * jnp.maximum(jnp.abs(c) - thr, 0.0)
+        p = haar_interleaved_inv(c, levels, roll, iotas)
+        x_new = a * x - tau * grad + tg * p
+        if with_noise:
+            x_new = x_new + noise_amp * xi
+        if with_stats:
+            g = step0 + i
+            w = (g >= burn).astype(jnp.int32)
+            n_new = cnt0 + jnp.maximum(g + 1 - jnp.maximum(burn, step0), 0)
+            wf = w.astype(dtype)
+            denom = jnp.maximum(n_new, 1).astype(dtype)
+            delta = x_new - mean
+            mean = mean + wf * delta / denom
+            m2 = m2 + wf * delta * (x_new - mean)
+        return x_new, mean, m2
+
+    def step_body(i, carry):
+        xi = _box_muller2(x.shape, dtype, pltpu)[0] if with_noise else None
+        return one_step(i, carry, xi)
+
+    def pair_body(j, carry):
+        xi1, xi2 = _box_muller2(x.shape, dtype, pltpu)
+        carry = one_step(2 * j, carry, xi1)
+        return one_step(2 * j + 1, carry, xi2)
+
+    if with_stats:
+        mean0, m20 = mean_ref[:], m2_ref[:]
+    else:
+        mean0 = m20 = jnp.zeros((1, 1), dtype)
+    carry0 = (x, mean0, m20)
+    if with_noise and n_steps % 2 == 0:
+        out = jax.lax.fori_loop(0, n_steps // 2, pair_body, carry0)
+    else:
+        out = jax.lax.fori_loop(0, n_steps, step_body, carry0)
+    x, mean, m2 = out
+    xo_ref[:] = x
+    if with_stats:
+        meano_ref[:] = mean
+        m2o_ref[:] = m2
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "levels", "n_steps", "with_noise", "with_stats", "interpret",
+    ),
+)
+def wavelet_block_update(
+    x, y, mask, mean, m2, seed, scal_f, scal_i, *,
+    levels: int = 3, n_steps: int = 1, with_noise: bool = True,
+    with_stats: bool = True, interpret: bool = False,
+):
+    """``n_steps`` fused wavelet-l1 MYULA steps.  ``scal_f = [tau, gamma,
+    sig, thr, noise_scale]``; ``scal_i = [step0, burn_in, count0]``.
+    Returns ``(x', mean', m2')``."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    seed_tile = jnp.zeros((1, 128), jnp.int32)
+    seed_tile = seed_tile.at[0, :2].set(jnp.asarray(seed, jnp.int32))
+
+    kern = functools.partial(
+        _wavelet_kernel,
+        levels=levels, n_steps=n_steps,
+        with_noise=with_noise, with_stats=with_stats,
+    )
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    stat_shape = x.shape if with_stats else (1, 1)
+    aliases = {0: 0}
+    if with_stats and mean.shape == x.shape:
+        aliases[3] = 1
+        aliases[4] = 2
+    return pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.ShapeDtypeStruct(stat_shape, x.dtype),
+            jax.ShapeDtypeStruct(stat_shape, x.dtype),
+        ),
+        in_specs=[vmem] * 5 + [vmem, smem, smem],
+        out_specs=(vmem,) * 3,
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES
+        ),
+        interpret=interpret,
+    )(x, y, mask, mean, m2, seed_tile, scal_f, scal_i)
+
+
+def run_myula_wavelet_fused(
+    l2,  # L2Data over a Mask operator (ops/linops.py::Mask)
+    lam: float,  # wavelet-l1 weight (OrthogonalL1.sigma)
+    tau: float,
+    gamma: float,
+    x0,
+    key,
+    n_steps: int,
+    *,
+    levels: int = 3,
+    epsg: float = 1.0,
+    block: Optional[int] = None,
+    burn_in: int = 0,
+    noise_scale: float = 1.0,
+    interpret: bool = False,
+) -> FusedChainResult:
+    """Block-fused wavelet-l1 MYULA chain with in-kernel Welford posterior
+    moments (cf. run_myula_tv_fused). ``l2.op`` must be a ``Mask``;
+    the prior is ``lam * ||W x||_1`` with the level-``levels`` orthogonal
+    Haar DWT."""
+    mask = l2.op.mask
+    y = l2.b
+    x0 = jnp.asarray(x0)
+    if block is None:
+        block = min(n_steps, 500)
+    while n_steps % block:
+        block -= 1
+    n_blocks = n_steps // block
+    key = as_key(key)
+    scal_f = jnp.asarray(
+        [tau, gamma, l2.sigma, epsg * gamma * lam, noise_scale], x0.dtype
+    )
+    zeros = jnp.zeros_like(x0)
+
+    def body(carry, b):
+        x, mean, m2 = carry
+        step0 = b * block
+        cnt0 = jnp.maximum(step0 - burn_in, 0)
+        scal_i = jnp.stack(
+            [step0, jnp.asarray(burn_in, jnp.int32), cnt0]
+        ).astype(jnp.int32)
+        x, mean, m2 = wavelet_block_update(
+            x, y, mask, mean, m2, _key_seed(step_key(key, b)),
+            scal_f, scal_i, levels=levels, n_steps=block,
+            with_noise=noise_scale != 0.0, with_stats=True,
+            interpret=interpret,
+        )
+        return (x, mean, m2), None
+
+    (x, mean, m2), _ = jax.lax.scan(
+        body, (x0, zeros, zeros), jnp.arange(n_blocks, dtype=jnp.int32)
+    )
+    count = jnp.asarray(max(n_steps - burn_in, 0), jnp.int32)
+    return FusedChainResult(
+        final_state=SamplerState.init(x),
+        moments=RunningMoments(count=count, mean=mean, m2=m2),
+        quantiles=None,
+    )

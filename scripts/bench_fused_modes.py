@@ -95,6 +95,38 @@ def main(n=512, steps=4000, block=500):
         ),
     )
 
+    # wavelet-l1 inpainting MYULA: fused interleaved-Haar kernel vs the
+    # unfused OrthogonalL1 path (BASELINE config 4 posterior)
+    from lmc_atomi_tpu.kernels import myula_imaging, run_myula_wavelet_fused
+    from lmc_atomi_tpu.ops.functionals import OrthogonalL1
+    from lmc_atomi_tpu.ops.linops import Mask
+    from lmc_atomi_tpu.ops.wavelet import HaarDWT2D
+
+    mask = (jax.random.uniform(jax.random.PRNGKey(5), (n, n)) > 0.5).astype(
+        jnp.float32
+    )
+    yw = mask * img / 255.0 + 0.1 * mask * jax.random.normal(
+        jax.random.PRNGKey(6), (n, n)
+    )
+    l2w = L2Data(op=Mask(mask=mask), b=yw, sigma=1.0 / 0.1**2)
+    gam_w = 0.1**2
+    bench(
+        "wavelet-myula-fused",
+        jax.jit(
+            lambda x, k: run_myula_wavelet_fused(
+                l2w, 5.0, 0.2 * gam_w, gam_w, x, k, steps, levels=3
+            )
+        ),
+    )
+    wav = OrthogonalL1(op=HaarDWT2D(levels=3), sigma=5.0)
+    kern_w = myula_imaging(l2w, wav, tau=0.2 * gam_w, gamma=gam_w)
+    bench(
+        "wavelet-myula-unfused",
+        jax.jit(
+            lambda x, k: run_chain(kern_w, x, k, steps, collect="stats")
+        ),
+    )
+
 
 if __name__ == "__main__":
     main(steps=int(sys.argv[1]) if len(sys.argv) > 1 else 4000)

@@ -1,0 +1,159 @@
+"""Fused wavelet-l1 MYULA kernel (kernels/wavelet_fused.py), interpret mode.
+
+Checks: the interleaved in-kernel Haar DWT is orthogonal and its prox is
+EXACTLY the Mallat-layout prox (layout invariance through the elementwise
+soft-threshold); the fused chain matches the unfused
+``myula_imaging(L2Data(Mask), OrthogonalL1(HaarDWT2D))`` step-for-step in
+the deterministic (noise_scale=0) setting; Welford moments and burn-in
+masking agree with the runner.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+ON_TPU = jax.default_backend() == "tpu"
+
+from lmc_atomi_tpu.kernels.wavelet_fused import (
+    haar_interleaved,
+    haar_interleaved_inv,
+    run_myula_wavelet_fused,
+)
+from lmc_atomi_tpu.ops.functionals import L2Data, OrthogonalL1
+from lmc_atomi_tpu.ops.linops import Mask
+from lmc_atomi_tpu.ops.wavelet import HaarDWT2D
+
+
+def _problem(n=32, levels=3, seed=0, lam=0.25, sigma=0.1):
+    key = jax.random.PRNGKey(seed)
+    km, kn, ki = jax.random.split(key, 3)
+    img = jax.random.uniform(ki, (n, n), jnp.float32)
+    mask = (jax.random.uniform(km, (n, n)) > 0.5).astype(jnp.float32)
+    y = mask * img + sigma * mask * jax.random.normal(kn, (n, n), jnp.float32)
+    l2 = L2Data(op=Mask(mask=mask), b=y, sigma=1.0 / sigma**2)
+    wav = OrthogonalL1(op=HaarDWT2D(levels=levels), sigma=lam)
+    return l2, wav, img
+
+
+class TestInterleavedHaar:
+    def test_roundtrip_identity(self):
+        x = jax.random.normal(jax.random.PRNGKey(1), (16, 16))
+        for levels in (1, 2, 3, 4):
+            c = haar_interleaved(x, levels)
+            back = haar_interleaved_inv(c, levels)
+            np.testing.assert_allclose(
+                np.asarray(back), np.asarray(x), atol=1e-5
+            )
+
+    def test_orthogonal_norm_preserved(self):
+        x = jax.random.normal(jax.random.PRNGKey(2), (32, 32))
+        c = haar_interleaved(x, 3)
+        np.testing.assert_allclose(
+            float(jnp.sum(c * c)), float(jnp.sum(x * x)), rtol=1e-6
+        )
+
+    def test_matches_mallat_up_to_permutation(self):
+        """Interleaved W = P @ W_mallat: the coefficient MULTISET equals
+        HaarDWT2D's (sorted values agree)."""
+        x = jax.random.normal(jax.random.PRNGKey(3), (16, 16))
+        for levels in (1, 2, 3):
+            ci = np.sort(np.asarray(haar_interleaved(x, levels)).ravel())
+            cm = np.sort(
+                np.asarray(HaarDWT2D(levels=levels).matvec(x)).ravel()
+            )
+            np.testing.assert_allclose(ci, cm, atol=1e-5)
+
+    def test_prox_layout_invariance(self):
+        """W^T soft(W x) is identical for the interleaved and Mallat
+        transforms (soft-threshold commutes with the permutation)."""
+        x = jax.random.normal(jax.random.PRNGKey(4), (32, 32))
+        wav = OrthogonalL1(op=HaarDWT2D(levels=3), sigma=0.3)
+        want = wav.prox(x, 0.7)
+        thr = 0.7 * 0.3
+        c = haar_interleaved(x, 3)
+        got = haar_interleaved_inv(
+            jnp.sign(c) * jnp.maximum(jnp.abs(c) - thr, 0.0), 3
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-6
+        )
+
+    def test_odd_sized_levels_skip(self):
+        # 24 = 8*3: only 3 halvings possible; deeper requests must not break
+        x = jax.random.normal(jax.random.PRNGKey(5), (24, 24))
+        c = haar_interleaved(x, 5)
+        back = haar_interleaved_inv(c, 5)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(x),
+                                   atol=1e-5)
+
+
+class TestFusedWaveletMyula:
+    def test_deterministic_parity_vs_unfused(self):
+        """noise_scale=0: the fused block chain equals the unfused
+        myula_imaging chain step-for-step."""
+        l2, wav, _ = _problem(n=32, levels=3)
+        gamma = 0.1**2
+        tau = 0.2 * gamma
+        base = jax.random.PRNGKey(9)
+        n = 6
+        # deterministic reference: the myula_imaging recursion at xi=0
+        x_ref = l2.b
+        for i in range(n):
+            p = wav.prox(x_ref, gamma)
+            x_ref = (
+                (1 - tau / gamma) * x_ref - tau * l2.grad(x_ref)
+                + (tau / gamma) * p
+            )
+        res = run_myula_wavelet_fused(
+            l2, wav.sigma, tau, gamma, l2.b, base, n,
+            block=3, noise_scale=0.0, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.final_state.position), np.asarray(x_ref),
+            rtol=2e-5, atol=2e-6,
+        )
+
+    def test_welford_moments_match_runner_semantics(self):
+        """Fused in-kernel Welford (with burn-in) equals NumPy moments of
+        the deterministic trajectory."""
+        l2, wav, _ = _problem(n=16, levels=2)
+        gamma, burn = 0.05, 3
+        tau = 0.2 * gamma
+        n = 8
+        xs = []
+        x = l2.b
+        for i in range(n):
+            p = wav.prox(x, gamma)
+            x = (
+                (1 - tau / gamma) * x - tau * l2.grad(x)
+                + (tau / gamma) * p
+            )
+            xs.append(np.asarray(x))
+        res = run_myula_wavelet_fused(
+            l2, wav.sigma, tau, gamma, l2.b, jax.random.PRNGKey(0), n,
+            levels=2, block=4, burn_in=burn, noise_scale=0.0,
+            interpret=True,
+        )
+        kept = np.stack(xs[burn:])
+        np.testing.assert_allclose(
+            np.asarray(res.moments.mean), kept.mean(0), rtol=1e-5,
+            atol=1e-6,
+        )
+        assert int(res.moments.count) == n - burn
+
+    @pytest.mark.skipif(not ON_TPU, reason="on-core PRNG needs a real TPU")
+    def test_noise_chain_is_finite_and_contracts(self):
+        """With noise: chain stays finite and the posterior mean improves
+        on the masked observation (PSNR up)."""
+        from lmc_atomi_tpu.eval.metrics import psnr
+
+        l2, wav, img = _problem(n=32, levels=3)
+        gamma = 0.1**2
+        tau = 0.2 * gamma
+        res = run_myula_wavelet_fused(
+            l2, wav.sigma, tau, gamma, l2.b, jax.random.PRNGKey(1), 400,
+            block=100, burn_in=100, interpret=not ON_TPU,
+        )
+        mean = res.moments.mean
+        assert np.isfinite(np.asarray(mean)).all()
+        assert float(psnr(img, mean)) > float(psnr(img, l2.b))
