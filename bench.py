@@ -195,6 +195,42 @@ def device_iters_per_sec():
             file=sys.stderr,
         )
 
+    # Labeled extras for the record: the fused primal-dual ULPDA sampler
+    # (Chebyshev-6 in-VMEM gram solve) and the in-kernel P^2
+    # credible-interval mode on the same problem — both at the reference
+    # cold-prox semantics. BENCH_EXTRAS=0 skips them.
+    ulpda_v = ci_v = None
+    if fused and os.environ.get("BENCH_EXTRAS", "1") == "1":
+        from lmc_atomi_tpu.kernels.ulpda_fused import run_ulpda_fused
+        from lmc_atomi_tpu.ops.functionals import L21Norm
+        from lmc_atomi_tpu.ops.linops import Gradient2D
+
+        # step size per the ULPDA stability setting used in
+        # scripts/bench_fused_modes.py (tau0 = 0.95/sigma_data, mu=1)
+        tau_u = 0.95 * SIGMA_NOISE**2
+        run_u = jax.jit(
+            lambda x, k, n: run_ulpda_fused(
+                l2, L21Norm(sigma=TV_WEIGHT), Gradient2D(), tau_u, 1.0,
+                x, k, n, block=250,
+            ),
+            static_argnums=2,
+        )
+        dt_u, _ = timed(run_u)
+        ulpda_v = STEPS / dt_u
+        print(f"[bench] ulpda_fused: time={dt_u:.2f}s -> {ulpda_v:.0f} "
+              "iters/s", file=sys.stderr)
+        run_ci = jax.jit(
+            lambda x, k, n: run_myula_tv_fused(
+                l2, TV_WEIGHT, tau, gamma, x, k, n, niter_tv=TV_ITERS,
+                block=500, burn_in=2000, quantiles=(0.025, 0.975),
+            ),
+            static_argnums=2,
+        )
+        dt_c, _ = timed(run_ci)
+        ci_v = STEPS / dt_c
+        print(f"[bench] fused 95%-CI maps: time={dt_c:.2f}s -> {ci_v:.0f} "
+              "iters/s", file=sys.stderr)
+
     # Aggregate throughput: vmapped parallel chains (the chip is mostly idle
     # on a single latency-bound chain). Reported to stderr; the headline JSON
     # metric stays the single-chain north star.
@@ -233,11 +269,11 @@ def device_iters_per_sec():
             file=sys.stderr,
         )
 
-    return STEPS / dt, warm5, (np.asarray(y), np.asarray(h))
+    return STEPS / dt, warm5, ulpda_v, ci_v, (np.asarray(y), np.asarray(h))
 
 
 def main():
-    value, warm5, (y_np, h_np) = device_iters_per_sec()
+    value, warm5, ulpda_v, ci_v, (y_np, h_np) = device_iters_per_sec()
     cpu = cpu_baseline_iters_per_sec(y_np.astype(np.float64), h_np.astype(np.float64))
     print(f"[bench] cpu_baseline={cpu:.2f} iters/s (median of {CPU_REPS})",
           file=sys.stderr)
@@ -251,6 +287,10 @@ def main():
     }
     if warm5 is not None:
         record["value_warm5"] = round(warm5, 2)
+    if ulpda_v is not None:
+        record["value_ulpda_fused"] = round(ulpda_v, 2)
+    if ci_v is not None:
+        record["value_ci_maps"] = round(ci_v, 2)
     print(json.dumps(record))
 
 

@@ -121,16 +121,21 @@ def wavelet_inpainting(
                   file=sys.stderr)
 
     if fused and wavelet == "haar":
-        # fully fused Pallas chain (kernels/wavelet_fused.py): in-VMEM
+        # fully fused Pallas chains (kernels/wavelet_fused.py): in-VMEM
         # interleaved Haar DWT -> exact soft-threshold prox (layout
-        # invariance) + masked-data gradient + on-core noise + Welford
-        from lmc_atomi_tpu.kernels import run_myula_wavelet_fused
+        # invariance) + masked-data gradient + on-core noise + Welford,
+        # plus the wavelet-DUAL ULPDA (closed-form mask prox, l-inf dual
+        # clip — no inner solve)
+        from lmc_atomi_tpu.kernels import (
+            run_myula_wavelet_fused,
+            run_ulpda_wavelet_fused,
+        )
 
-        t0 = time.perf_counter()
         # off-TPU (tests/smokes) interpret mode still needs noise, which
         # the interpreter cannot emulate -> run the deterministic MAP-like
         # chain there; the TPU path samples
         on_tpu = jax.default_backend() == "tpu"
+        t0 = time.perf_counter()
         res_f = jax.jit(
             lambda x, k: run_myula_wavelet_fused(
                 l2, tau_w, tau_step, gamma, x, k, n_steps,
@@ -142,6 +147,19 @@ def wavelet_inpainting(
         jax.block_until_ready(res_f.moments.mean)
         timings["MYULA-fused"] = time.perf_counter() - t0
         results["MYULA-fused"] = np.asarray(res_f.moments.mean)
+
+        t0 = time.perf_counter()
+        res_uf = jax.jit(
+            lambda x, k: run_ulpda_wavelet_fused(
+                l2, tau_w, 0.95 / lips, 1.0, x, k, n_steps,
+                levels=levels, burn_in=burn_in,
+                noise_scale=1.0 if on_tpu else 0.0,
+                interpret=not on_tpu,
+            )
+        )(x0, jax.random.fold_in(ks, 8))
+        jax.block_until_ready(res_uf.moments.mean)
+        timings["ULPDA-wavelet-fused"] = time.perf_counter() - t0
+        results["ULPDA-wavelet-fused"] = np.asarray(res_uf.moments.mean)
 
     report = {
         name: {"psnr": float(psnr_fn(img, jnp.asarray(est, dtype)))}

@@ -8,6 +8,7 @@ from lmc_atomi_tpu.kernels.myula_fused import (
 )
 from lmc_atomi_tpu.kernels.wavelet_fused import (
     run_myula_wavelet_fused,
+    run_ulpda_wavelet_fused,
 )
 from lmc_atomi_tpu.kernels.ulpda_fused import (
     run_ulpda_fused,
@@ -68,6 +69,7 @@ __all__ = [
     "myula_imaging_sep_fused",
     "run_myula_tv_fused",
     "run_myula_wavelet_fused",
+    "run_ulpda_wavelet_fused",
     "sep_fused_supported",
     "ulpda_sep_fused",
     "run_ulpda_fused",

@@ -26,6 +26,13 @@ prox_lmc.py:128-157):
 
     x <- (1 - tau/gamma) x - tau sigma m(mx - y)
          + (tau/gamma) W^T soft(W x, epsg gamma lam) + sqrt(2 tau) xi
+
+The same in-VMEM DWT also fuses the WAVELET-DUAL ULPDA
+(``run_ulpda_wavelet_fused``; reference generic-operator primal-dual,
+algs.py:436-448): the dual lives in the interleaved coefficient domain,
+its prox is the l-inf clip, and the ``L2Data(Mask)`` primal prox is the
+closed form ``(v + ts m y)/(1 + ts m)`` — no inner solve at all, so one
+ULPDA step is two lifting DWTs plus elementwise work.
 """
 from __future__ import annotations
 
@@ -49,6 +56,8 @@ __all__ = [
     "haar_interleaved",
     "haar_interleaved_inv",
     "run_myula_wavelet_fused",
+    "run_ulpda_wavelet_fused",
+    "ulpda_wavelet_block_update",
     "wavelet_block_update",
 ]
 
@@ -238,6 +247,226 @@ def wavelet_block_update(
         ),
         interpret=interpret,
     )(x, y, mask, mean, m2, seed_tile, scal_f, scal_i)
+
+
+def _ulpda_wavelet_kernel(
+    x_ref, c_ref, xb_ref, y_ref, m_ref, mean_ref, m2_ref,
+    seed_ref, scal_ref, int_ref,
+    xo_ref, co_ref, xbo_ref, meano_ref, m2o_ref,
+    *, levels, n_steps, gfirst, with_noise, with_stats,
+):
+    from jax.experimental.pallas import tpu as pltpu
+
+    x = x_ref[:]
+    c = c_ref[:]
+    y = y_ref[:]
+    mask = m_ref[:]
+    tau = scal_ref[0]
+    mu = scal_ref[1]
+    theta = scal_ref[2]
+    noise_scale = scal_ref[3]
+    sig = scal_ref[4]  # data-term 1/sigma_noise^2
+    g_sigma = scal_ref[5]  # dual l-inf radius (L1Norm sigma)
+    step0 = int_ref[0]
+    burn = int_ref[1]
+    cnt0 = int_ref[2]
+    dtype = x.dtype
+    iotas = _iotas(x.shape)
+
+    if with_noise:
+        pltpu.prng_seed(seed_ref[0, 0], seed_ref[0, 1])
+    noise_amp = noise_scale * jnp.sqrt(2.0 * tau)
+    ts = tau * sig
+    # L2Data(Mask).prox closed form: (v + ts m y)/(1 + ts m), binary mask
+    prox_den = 1.0 / (1.0 + ts * mask)
+    atb = ts * mask * y
+
+    def roll(v, s, axis):
+        return pltpu.roll(v, s, axis)
+
+    def fwd(v):
+        return haar_interleaved(v, levels, roll, iotas)
+
+    def inv(v):
+        return haar_interleaved_inv(v, levels, roll, iotas)
+
+    def one_step(i, carry, xi):
+        x, c, xbar, mean, m2 = carry
+        if gfirst:
+            c = jnp.clip(c + mu * fwd(xbar), -g_sigma, g_sigma)
+            x_new = (x - tau * inv(c) + atb) * prox_den
+            if with_noise:
+                x_new = x_new + noise_amp * xi
+            xbar = x_new + theta * (x_new - x)
+        else:
+            x_new = (x - tau * inv(c) + atb) * prox_den
+            if with_noise:
+                x_new = x_new + noise_amp * xi
+            xbar = x_new + theta * (x_new - x)
+            c = jnp.clip(c + mu * fwd(xbar), -g_sigma, g_sigma)
+        if with_stats:
+            g = step0 + i
+            w = (g >= burn).astype(jnp.int32)
+            n_new = cnt0 + jnp.maximum(g + 1 - jnp.maximum(burn, step0), 0)
+            wf = w.astype(dtype)
+            denom = jnp.maximum(n_new, 1).astype(dtype)
+            delta = x_new - mean
+            mean = mean + wf * delta / denom
+            m2 = m2 + wf * delta * (x_new - mean)
+        return x_new, c, xbar, mean, m2
+
+    def step_body(i, carry):
+        xi = _box_muller2(x.shape, dtype, pltpu)[0] if with_noise else None
+        return one_step(i, carry, xi)
+
+    def pair_body(j, carry):
+        xi1, xi2 = _box_muller2(x.shape, dtype, pltpu)
+        carry = one_step(2 * j, carry, xi1)
+        return one_step(2 * j + 1, carry, xi2)
+
+    if with_stats:
+        mean0, m20 = mean_ref[:], m2_ref[:]
+    else:
+        mean0 = m20 = jnp.zeros((1, 1), dtype)
+    # gfirst=False never READS the incoming xbar; the dead initial value is x
+    carry0 = (x, c, xb_ref[:] if gfirst else x, mean0, m20)
+    if with_noise and n_steps % 2 == 0:
+        out = jax.lax.fori_loop(0, n_steps // 2, pair_body, carry0)
+    else:
+        out = jax.lax.fori_loop(0, n_steps, step_body, carry0)
+    x, c, xbar, mean, m2 = out
+    xo_ref[:] = x
+    co_ref[:] = c
+    xbo_ref[:] = xbar
+    if with_stats:
+        meano_ref[:] = mean
+        m2o_ref[:] = m2
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "levels", "n_steps", "gfirst", "with_noise", "with_stats",
+        "interpret",
+    ),
+)
+def ulpda_wavelet_block_update(
+    x, c, xbar, y, mask, mean, m2, seed, scal_f, scal_i, *,
+    levels: int = 3, n_steps: int = 1, gfirst: bool = False,
+    with_noise: bool = True, with_stats: bool = True,
+    interpret: bool = False,
+):
+    """``n_steps`` fused wavelet-dual ULPDA steps.  ``scal_f = [tau, mu,
+    theta, noise_scale, sigma, g_sigma]``; ``scal_i = [step0, burn_in,
+    count0]``.  The dual ``c`` lives in the INTERLEAVED coefficient
+    layout.  Returns ``(x', c', xbar', mean', m2')``."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    seed_tile = jnp.zeros((1, 128), jnp.int32)
+    seed_tile = seed_tile.at[0, :2].set(jnp.asarray(seed, jnp.int32))
+
+    kern = functools.partial(
+        _ulpda_wavelet_kernel,
+        levels=levels, n_steps=n_steps, gfirst=gfirst,
+        with_noise=with_noise, with_stats=with_stats,
+    )
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    stat_shape = x.shape if with_stats else (1, 1)
+    aliases = {0: 0, 1: 1}
+    if xbar.shape == x.shape:
+        aliases[2] = 2
+    if with_stats and mean.shape == x.shape:
+        aliases[5] = 3
+        aliases[6] = 4
+    return pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.ShapeDtypeStruct(stat_shape, x.dtype),
+            jax.ShapeDtypeStruct(stat_shape, x.dtype),
+        ),
+        in_specs=[vmem] * 7 + [vmem, smem, smem],
+        out_specs=(vmem,) * 5,
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES
+        ),
+        interpret=interpret,
+    )(x, c, xbar, y, mask, mean, m2, seed_tile, scal_f, scal_i)
+
+
+def run_ulpda_wavelet_fused(
+    l2,  # L2Data over a Mask operator (ops/linops.py::Mask)
+    g_sigma: float,  # wavelet-l1 weight (L1Norm.sigma on the dual)
+    tau,
+    mu,
+    x0,
+    key,
+    n_steps: int,
+    *,
+    theta: float = 1.0,
+    gfirst: bool = False,
+    levels: int = 3,
+    block: Optional[int] = None,
+    burn_in: int = 0,
+    noise_scale: float = 1.0,
+    interpret: bool = False,
+) -> FusedChainResult:
+    """Block-fused wavelet-dual ULPDA chain (in-kernel Welford moments).
+
+    The primal recursion is EXACTLY ``kernels/imaging.py::ulpda(L2Data(Mask),
+    L1Norm, HaarDWT2D(levels))`` (reference generic-operator ULPDA,
+    algs.py:436-448): interleaved W = P @ W_mallat for a permutation P, the
+    l-inf clip commutes with P, and W^T P^T P = W^T, so the x-sequence is
+    layout-independent.  The returned dual ``extras.y`` is in the
+    INTERLEAVED layout — resume only with this runner, not the Mallat-layout
+    unfused kernel.  The closed-form mask prox needs no inner solve, so the
+    whole primal-dual step fuses in VMEM."""
+    mask = l2.op.mask
+    y = l2.b
+    x0 = jnp.asarray(x0)
+    if block is None:
+        block = min(n_steps, 250)
+    while n_steps % block:
+        block -= 1
+    n_blocks = n_steps // block
+    key = as_key(key)
+    scal_f = jnp.asarray(
+        [tau, mu, theta, noise_scale, l2.sigma, g_sigma], x0.dtype
+    )
+    zeros = jnp.zeros_like(x0)
+
+    def body(carry, b):
+        x, c, xbar, mean, m2 = carry
+        step0 = b * block
+        cnt0 = jnp.maximum(step0 - burn_in, 0)
+        scal_i = jnp.stack(
+            [step0, jnp.asarray(burn_in, jnp.int32), cnt0]
+        ).astype(jnp.int32)
+        x, c, xbar, mean, m2 = ulpda_wavelet_block_update(
+            x, c, xbar, y, mask, mean, m2, _key_seed(step_key(key, b)),
+            scal_f, scal_i, levels=levels, n_steps=block, gfirst=gfirst,
+            with_noise=noise_scale != 0.0, with_stats=True,
+            interpret=interpret,
+        )
+        return (x, c, xbar, mean, m2), None
+
+    (x, c, xbar, mean, m2), _ = jax.lax.scan(
+        body, (x0, zeros, x0, zeros, zeros),
+        jnp.arange(n_blocks, dtype=jnp.int32),
+    )
+    count = jnp.asarray(max(n_steps - burn_in, 0), jnp.int32)
+    from lmc_atomi_tpu.kernels.imaging import ULPDAExtras
+
+    return FusedChainResult(
+        final_state=SamplerState.init(x, extras=ULPDAExtras(y=c, xbar=xbar)),
+        moments=RunningMoments(count=count, mean=mean, m2=m2),
+        quantiles=None,
+    )
 
 
 def run_myula_wavelet_fused(

@@ -63,9 +63,14 @@ def test_inpainting_workload_small(tmp_path):
         size=32, n_steps=600, burn_in=100, outdir=str(tmp_path),
         make_plots=False, fused=True,
     )
-    assert set(results) == {"MYULA", "MALA", "ULPDA-wavelet", "MYULA-fused"}
-    # deterministic off-TPU fused chain still reconstructs
+    assert set(results) == {
+        "MYULA", "MALA", "ULPDA-wavelet", "MYULA-fused",
+        "ULPDA-wavelet-fused",
+    }
+    # deterministic off-TPU fused chains still reconstruct
     assert (summary["report"]["MYULA-fused"]["psnr"]
+            > summary["report"]["observed"]["psnr"])
+    assert (summary["report"]["ULPDA-wavelet-fused"]["psnr"]
             > summary["report"]["observed"]["psnr"])
     # posterior means must beat the masked observation
     assert summary["report"]["MYULA"]["psnr"] > summary["report"]["observed"]["psnr"]

@@ -18,8 +18,9 @@ from lmc_atomi_tpu.kernels.wavelet_fused import (
     haar_interleaved,
     haar_interleaved_inv,
     run_myula_wavelet_fused,
+    run_ulpda_wavelet_fused,
 )
-from lmc_atomi_tpu.ops.functionals import L2Data, OrthogonalL1
+from lmc_atomi_tpu.ops.functionals import L1Norm, L2Data, OrthogonalL1
 from lmc_atomi_tpu.ops.linops import Mask
 from lmc_atomi_tpu.ops.wavelet import HaarDWT2D
 
@@ -153,6 +154,100 @@ class TestFusedWaveletMyula:
         res = run_myula_wavelet_fused(
             l2, wav.sigma, tau, gamma, l2.b, jax.random.PRNGKey(1), 400,
             block=100, burn_in=100, interpret=not ON_TPU,
+        )
+        mean = res.moments.mean
+        assert np.isfinite(np.asarray(mean)).all()
+        assert float(psnr(img, mean)) > float(psnr(img, l2.b))
+
+
+class TestFusedWaveletUlpda:
+    """run_ulpda_wavelet_fused vs the unfused generic-operator ULPDA
+    (kernels/imaging.py::ulpda) on the Mallat-layout HaarDWT2D — the
+    x-sequence is layout-independent (clip commutes with the interleaved
+    permutation), so deterministic parity is to fp tolerance."""
+
+    def _unfused_traj(self, l2, lam, levels, tau, mu, x0, n, gfirst):
+        from lmc_atomi_tpu.kernels.imaging import ulpda
+        from lmc_atomi_tpu.run.runner import run_chain
+
+        kern = ulpda(
+            l2, L1Norm(sigma=lam), HaarDWT2D(levels=levels), tau, mu,
+            gfirst=gfirst, noise_scale=0.0,
+        )
+        return run_chain(
+            kern, x0, jax.random.PRNGKey(0), n, collect="samples"
+        )
+
+    @pytest.mark.parametrize("gfirst", [False, True])
+    def test_deterministic_parity_vs_unfused(self, gfirst):
+        l2, wav, _ = _problem(n=32, levels=3)
+        lips = l2.sigma
+        tau, mu = 0.95 / lips, 1.0
+        n = 7  # odd: exercises the per-step (non-paired) body
+        res_u = self._unfused_traj(
+            l2, wav.sigma, 3, tau, mu, l2.b, n, gfirst
+        )
+        res_f = run_ulpda_wavelet_fused(
+            l2, wav.sigma, tau, mu, l2.b, jax.random.PRNGKey(0), n,
+            levels=3, block=n, gfirst=gfirst, noise_scale=0.0,
+            interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_f.final_state.position),
+            np.asarray(res_u.samples[-1]),
+            rtol=2e-5, atol=2e-6,
+        )
+
+    def test_block_boundaries_are_seamless(self):
+        """Splitting the same deterministic chain across blocks changes
+        nothing (dual + xbar carried through block boundaries)."""
+        l2, wav, _ = _problem(n=16, levels=2)
+        tau, mu = 0.95 / l2.sigma, 1.0
+        one = run_ulpda_wavelet_fused(
+            l2, wav.sigma, tau, mu, l2.b, jax.random.PRNGKey(0), 8,
+            levels=2, block=8, noise_scale=0.0, interpret=True,
+        )
+        split = run_ulpda_wavelet_fused(
+            l2, wav.sigma, tau, mu, l2.b, jax.random.PRNGKey(0), 8,
+            levels=2, block=2, noise_scale=0.0, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(split.final_state.position),
+            np.asarray(one.final_state.position), rtol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(split.moments.mean), np.asarray(one.moments.mean),
+            rtol=1e-6,
+        )
+
+    def test_welford_moments_match_trajectory(self):
+        l2, wav, _ = _problem(n=16, levels=2)
+        tau, mu = 0.95 / l2.sigma, 1.0
+        n, burn = 8, 3
+        res_u = self._unfused_traj(l2, wav.sigma, 2, tau, mu, l2.b, n, False)
+        res_f = run_ulpda_wavelet_fused(
+            l2, wav.sigma, tau, mu, l2.b, jax.random.PRNGKey(0), n,
+            levels=2, block=4, burn_in=burn, noise_scale=0.0,
+            interpret=True,
+        )
+        kept = np.asarray(res_u.samples)[burn:]
+        np.testing.assert_allclose(
+            np.asarray(res_f.moments.mean), kept.mean(0), rtol=1e-5,
+            atol=1e-6,
+        )
+        assert int(res_f.moments.count) == n - burn
+
+    @pytest.mark.skipif(not ON_TPU, reason="on-core PRNG needs a real TPU")
+    def test_noise_chain_is_finite_and_contracts(self):
+        """With noise: chain stays finite and the posterior mean improves
+        on the masked observation (PSNR up)."""
+        from lmc_atomi_tpu.eval.metrics import psnr
+
+        l2, wav, img = _problem(n=32, levels=3)
+        res = run_ulpda_wavelet_fused(
+            l2, wav.sigma, 0.95 / l2.sigma, 1.0, l2.b,
+            jax.random.PRNGKey(1), 400, block=100, burn_in=100,
+            interpret=not ON_TPU,
         )
         mean = res.moments.mean
         assert np.isfinite(np.asarray(mean)).all()
