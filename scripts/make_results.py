@@ -449,16 +449,16 @@ def sec_ct(lines):
         "## Sparse-view CT (Radon, sigma=2) — PSNR (dB)",
         "",
         "TV-MYULA posterior vs TV-MAP (adaptive PDHG) vs learned DnCNN",
-        "PnP-ULA, from the filter-free adjoint backprojection start. The",
+        "PnP-ULA, from the Hann-FBP analytic start (ops/radon.py::fbp). The",
         "128^2/30-angle config uses the dense-matrix Radon (MXU matmuls);",
         "256^2/90 angles sits far above the 512 MB dense budget and runs",
         "on the three-shear FFT projector (`ops/radon.py`, auto-selected).",
         "Score = annealed score-ULA under the noise-conditional score net",
         "(models/score.py), the round-3 beyond-DnCNN learned prior:",
         "",
-        "| config | backprojection | TV posterior mean | TV MAP |"
-        " DnCNN-PnP mean | score-ULA mean |",
-        "|---|---|---|---|---|---|",
+        "| config | backprojection | FBP (Hann) | TV posterior mean |"
+        " TV MAP | DnCNN-PnP mean | score-ULA mean |",
+        "|---|---|---|---|---|---|---|",
     ]
     for size, n_angles in ((128, 30), (256, 90)):
         _, _, rep = ct_tv_myula(
@@ -466,10 +466,11 @@ def sec_ct(lines):
             score_prior=True,
         )
         lines.append(
-            "| {}^2, {} angles | {:.2f} | {:.2f} | {:.2f} | {:.2f} |"
+            "| {}^2, {} angles | {:.2f} | {:.2f} | {:.2f} | {:.2f} | {:.2f} |"
             " {:.2f} |".format(
                 size, n_angles,
-                rep["psnr_backprojection"], rep["psnr_posterior_mean"],
+                rep["psnr_backprojection"], rep["psnr_fbp"],
+                rep["psnr_posterior_mean"],
                 rep.get("psnr_map_tv", float("nan")),
                 rep.get("psnr_pnp_mean", float("nan")),
                 rep.get("psnr_score_mean", float("nan")),

@@ -245,3 +245,62 @@ class TestShearRadon:
         for a in range(9):
             np.testing.assert_allclose(float(sino[a].sum()), total,
                                        rtol=2e-3)
+
+
+class TestFBP:
+    """ops/radon.py::fbp — analytic filtered-backprojection inverse."""
+
+    def _problem(self, n=64, n_angles=60, sigma=0.0, mode=None, seed=0):
+        import jax
+
+        from lmc_atomi_tpu.utils.images import phantom
+
+        img = jnp.asarray(phantom(n), jnp.float32) / 255.0
+        op = Radon2D.create((n, n), n_angles=n_angles, mode=mode)
+        sino = op.matvec(img)
+        if sigma:
+            sino = sino + sigma * jax.random.normal(
+                jax.random.PRNGKey(seed), sino.shape, jnp.float32
+            )
+        return img, op, sino
+
+    def test_reconstructs_much_better_than_backprojection(self):
+        from lmc_atomi_tpu.eval.metrics import psnr
+        from lmc_atomi_tpu.ops.linops import LinOp
+        from lmc_atomi_tpu.ops.radon import fbp
+
+        img, op, sino = self._problem()
+        bp = op.rmatvec(sino)
+        bp = bp / jnp.maximum(LinOp.max_gram_eig(op, probe=bp, iters=20), 1.0)
+        rec = fbp(op, sino, filter_name="hann")
+        assert float(psnr(img, rec)) > float(psnr(img, bp)) + 3.5
+        assert float(psnr(img, rec)) > 16.0
+
+    def test_hann_beats_ramp_under_noise(self):
+        from lmc_atomi_tpu.eval.metrics import psnr
+        from lmc_atomi_tpu.ops.radon import fbp
+
+        img, op, sino = self._problem(sigma=2.0)
+        ramp = fbp(op, sino, filter_name="ramp")
+        hann = fbp(op, sino, filter_name="hann")
+        assert float(psnr(img, hann)) > float(psnr(img, ramp))
+
+    def test_calibration_fixes_scale(self):
+        """Calibrated FBP residual ||A x - y|| can only shrink vs raw."""
+        from lmc_atomi_tpu.ops.radon import fbp
+
+        _, op, sino = self._problem()
+        raw = fbp(op, sino, calibrate=False)
+        cal = fbp(op, sino, calibrate=True)
+        r_raw = float(jnp.linalg.norm(op.matvec(raw) - sino))
+        r_cal = float(jnp.linalg.norm(op.matvec(cal) - sino))
+        assert r_cal <= r_raw + 1e-4
+
+    def test_works_in_shear_mode(self):
+        from lmc_atomi_tpu.eval.metrics import psnr
+        from lmc_atomi_tpu.ops.radon import fbp
+
+        img, op, sino = self._problem(n=64, n_angles=45, mode="shear")
+        rec = fbp(op, sino, filter_name="hann")
+        assert np.isfinite(np.asarray(rec)).all()
+        assert float(psnr(img, rec)) > 14.0
