@@ -4,6 +4,7 @@ from lmc_atomi_tpu.kernels.myula_pallas import myula_imaging_fused
 from lmc_atomi_tpu.kernels.myula_fused import (
     myula_imaging_sep_fused,
     run_myula_tv_fused,
+    run_myula_tv_fused_packed,
     sep_fused_supported,
 )
 from lmc_atomi_tpu.kernels.wavelet_fused import (
@@ -68,6 +69,7 @@ __all__ = [
     "score_ula",
     "myula_imaging_sep_fused",
     "run_myula_tv_fused",
+    "run_myula_tv_fused_packed",
     "run_myula_wavelet_fused",
     "run_ulpda_wavelet_fused",
     "sep_fused_supported",

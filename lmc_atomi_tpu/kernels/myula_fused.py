@@ -56,6 +56,7 @@ __all__ = [
     "myula_tv_block_update",
     "myula_imaging_sep_fused",
     "run_myula_tv_fused",
+    "run_myula_tv_fused_packed",
     "sep_fused_supported",
 ]
 
@@ -109,13 +110,25 @@ def sep_fused_supported(op, shape, dtype, max_rank: int = 4) -> bool:
     return len(separable_gram_taps(op.hh)) <= max_rank
 
 
-def _sep_gram(x, taps: Taps, oy: int, ox: int, pltpu):
+def _sep_gram(x, taps: Taps, oy: int, ox: int, pltpu, chain_nx: int = 0):
     """``A^T A x`` as separable wrap convolutions with static-float taps.
 
     Matches ``CirculantBlur2D._wrap_conv(x, hh, oy, ox)``:
     ``y[i,j] = sum_ab hh[a,b] x[(i-a+oy)%ny, (j-b+ox)%nx]``.
+
+    ``chain_nx > 0`` is the lane-packing mode: ``x`` holds ``nx/chain_nx``
+    independent width-``chain_nx`` images side-by-side, and the column wrap
+    must be circulant PER CHAIN.  A full-width roll by ``s`` sends chain
+    boundaries into the neighbouring chain, so each tap selects between
+    ``roll(s)`` (lanes with ``col%chain_nx >= s``, in-chain read) and
+    ``roll(s + nx - chain_nx)`` (the own chain's tail) — one extra roll +
+    select per nonzero column tap, which the doubled lane occupancy more
+    than pays for on sub-128-wide images.
     """
     ny, nx = x.shape
+    lane_r = None
+    if chain_nx and chain_nx < nx:
+        lane_r = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) % chain_nx
 
     def conv1d(v, w, off, n, axis):
         out = None
@@ -124,13 +137,16 @@ def _sep_gram(x, taps: Taps, oy: int, ox: int, pltpu):
                 continue
             s = (i - off) % n
             term = v if s == 0 else pltpu.roll(v, s, axis)
+            if axis == 1 and lane_r is not None and s != 0:
+                wrap = pltpu.roll(v, s + nx - chain_nx, 1)
+                term = jnp.where(lane_r >= s, term, wrap)
             term = term * wi
             out = term if out is None else out + term
         return out
 
     out = None
     for wy, wx in taps:
-        t = conv1d(x, wx, ox, nx, 1)
+        t = conv1d(x, wx, ox, chain_nx if lane_r is not None else nx, 1)
         r = conv1d(t, wy, oy, ny, 0)
         out = r if out is None else out + r
     return out
@@ -310,7 +326,7 @@ def _block_kernel(
     int_ref,
     xo_ref, meano_ref, m2o_ref, qho_ref, qno_ref,
     *, taps, oy, ox, n_steps, niter_tv, tv_step, with_noise, with_stats,
-    mode, niter_inner, tv_warm, quantiles, quantile_thin,
+    mode, niter_inner, tv_warm, quantiles, quantile_thin, chain_nx,
 ):
     from jax.experimental.pallas import tpu as pltpu
 
@@ -327,7 +343,7 @@ def _block_kernel(
     step0 = int_ref[0]  # global step index of the first step in this block
     burn = int_ref[1]  # burn-in in steps (stats masked while step < burn)
     cnt0 = int_ref[2]  # Welford count entering this block
-    masks = _masks(x.shape, x.dtype)
+    masks = _masks(x.shape, x.dtype, chain_nx)
     dtype = x.dtype
 
     if with_noise:
@@ -346,7 +362,7 @@ def _block_kernel(
         # sub-steps (autocorrelated chains lose almost nothing to thinned
         # quantile streams, and the update is ~half the CI step cost).
         x, mean, m2, tv_dual, env_dual, qstate = carry
-        grad = gscale * _sep_gram(x, taps, oy, ox, pltpu) - atbs
+        grad = gscale * _sep_gram(x, taps, oy, ox, pltpu, chain_nx) - atbs
         if mode == "mctv":
             # MC-TV concave term (ops/ncvx_tv.py::_grad_moreau, op2 path):
             # grad f -= lamda * G^T(min(1/gamma, 1/|Gx|) Gx); G^T p = -div p
@@ -507,7 +523,7 @@ def _block_kernel(
     static_argnames=(
         "taps", "oy", "ox", "n_steps", "niter_tv", "tv_step",
         "with_noise", "with_stats", "interpret", "mode", "niter_inner",
-        "tv_warm", "quantiles", "quantile_thin",
+        "tv_warm", "quantiles", "quantile_thin", "chain_nx",
     ),
 )
 def myula_tv_block_update(
@@ -516,7 +532,7 @@ def myula_tv_block_update(
     tv_step: float = 0.25, with_noise: bool = True, with_stats: bool = True,
     interpret: bool = False, mode: str = "tv", niter_inner: int = 10,
     tv_warm: bool = False, quantiles: Tuple[float, ...] = (),
-    quantile_thin: int = 1,
+    quantile_thin: int = 1, chain_nx: int = 0,
 ):
     """``n_steps`` fused MYULA steps (+ optional in-kernel Welford / P^2).
 
@@ -551,6 +567,7 @@ def myula_tv_block_update(
         tv_step=tv_step, with_noise=with_noise, with_stats=with_stats,
         mode=mode, niter_inner=niter_inner, tv_warm=tv_warm,
         quantiles=quantiles, quantile_thin=quantile_thin,
+        chain_nx=chain_nx,
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -724,6 +741,7 @@ def run_myula_tv_fused(
     quantile_thin: int = 1,
     quantile_state=None,
     step_offset: int = 0,
+    chain_nx: int = 0,
 ):
     """Block-fused MYULA chain: lax.scan over blocks of fused in-VMEM steps.
 
@@ -757,6 +775,10 @@ def run_myula_tv_fused(
     """
     taps, (oy, ox), atbs = _fused_params(l2, tv_sigma, tau, gamma, niter_tv)
     mode, lamda, gamma_mc, niter_inner = _fused_mode(l2)
+    x0 = jnp.asarray(x0)
+    if chain_nx and atbs.shape[1] == chain_nx and x0.shape[1] != chain_nx:
+        # lane-packed chains share the observation: tile A^T b sideways
+        atbs = jnp.tile(atbs, (1, x0.shape[1] // chain_nx))
     if block is None:
         block = min(n_steps, 256)
     while n_steps % block:
@@ -814,7 +836,7 @@ def run_myula_tv_fused(
             with_noise=noise_scale != 0.0, with_stats=True,
             interpret=interpret, mode=mode, niter_inner=niter_inner,
             tv_warm=tv_warm, quantiles=quantiles,
-            quantile_thin=quantile_thin,
+            quantile_thin=quantile_thin, chain_nx=chain_nx,
         )
         return (x, mean, m2, qh, qn), None
 
@@ -849,4 +871,60 @@ def run_myula_tv_fused(
             if n_q else None
         ),
         quantile_state=(qh, qn) if n_q else None,
+    )
+
+
+def run_myula_tv_fused_packed(
+    l2: Any,
+    tv_sigma: float,
+    tau,
+    gamma,
+    x0,  # (n_chains, ny, nx) independent chains of the SAME posterior
+    key,
+    n_steps: int,
+    **kwargs,
+) -> FusedChainResult:
+    """Lane-packed multi-chain fused MYULA: ``n_chains`` independent chains
+    of one posterior run side-by-side in a SINGLE Pallas kernel instance.
+
+    A 64-wide image fills only half of each 8x128 VPU register, so a lone
+    64^2 chain wastes half the machine — and vmapping whole kernel
+    instances does not help (grid instances serialize on the one
+    TensorCore, measured ~1.2x aggregate in scripts/bench_multichain.py).
+    Packing chains along the LANE axis instead makes every register full:
+    the TV stencils become chain-local through the periodic column masks
+    (ops/tv_pallas.py::_masks(chain_nx=...)) and the circulant gram through
+    the dual-roll select in ``_sep_gram`` — the same instruction stream then
+    advances all chains at once.  Per-chain posterior moments / quantiles
+    come back unpacked; the deterministic per-chain recursion is EXACTLY
+    the single-chain kernel's (parity-gated in tests/test_myula_fused.py) —
+    with noise the chains are independent but draw from the packed PRNG
+    stream, so they equal solo runs statistically, not bitwise.
+
+    Accepts every ``run_myula_tv_fused`` keyword.  ``n_chains * nx`` should
+    be a multiple of 128 for full lane occupancy (2 chains at 64^2, 4 at
+    32^2); other multiples are allowed."""
+    x0 = jnp.asarray(x0)
+    if x0.ndim != 3:
+        raise ValueError("packed runner wants x0 of shape (n_chains, ny, nx)")
+    c, ny, nxc = x0.shape
+    xp = jnp.concatenate([x0[i] for i in range(c)], axis=1)
+    res = run_myula_tv_fused(
+        l2, tv_sigma, tau, gamma, xp, key, n_steps, chain_nx=nxc, **kwargs
+    )
+
+    def unpack(a):
+        return jnp.stack([a[:, i * nxc:(i + 1) * nxc] for i in range(c)])
+
+    m = res.moments
+    return FusedChainResult(
+        final_state=SamplerState.init(unpack(res.final_state.position)),
+        moments=RunningMoments(
+            count=m.count, mean=unpack(m.mean), m2=unpack(m.m2)
+        ),
+        quantiles=(
+            {p: unpack(v) for p, v in res.quantiles.items()}
+            if res.quantiles is not None else None
+        ),
+        quantile_state=res.quantile_state,
     )

@@ -33,12 +33,20 @@ def pallas_tv_supported(shape, dtype) -> bool:
     return working <= _VMEM_BUDGET_BYTES
 
 
-def _masks(shape, dtype):
+def _masks(shape, dtype, chain_nx: int = 0):
+    """Forward-difference boundary masks. ``chain_nx > 0`` makes the column
+    mask periodic mod ``chain_nx`` — the lane-packing mode where several
+    independent width-``chain_nx`` images sit side-by-side in one array:
+    zeroing the last column of EVERY chain makes all the roll-based TV
+    stencils chain-local (cross-seam reads are produced but masked off)."""
     ny, nx = shape
     row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     col = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     my = (row < ny - 1).astype(dtype)
-    mx = (col < nx - 1).astype(dtype)
+    if chain_nx and chain_nx < nx:
+        mx = (col % chain_nx < chain_nx - 1).astype(dtype)
+    else:
+        mx = (col < nx - 1).astype(dtype)
     return my, mx
 
 

@@ -6,6 +6,10 @@ chains per launch.  ``jax.vmap`` of a ``pallas_call`` lifts the batch
 axis to a leading grid dimension — the whole chain farm becomes ONE
 kernel launch with one program instance per chain (the grid-over-chains
 mode VERDICT r2 weak #3 asked for; no bespoke kernel changes needed).
+MEASURED: grid instances serialize on the one TensorCore (~1.2x
+aggregate), so the real lever is LANE PACKING — several sub-128-wide
+chains side-by-side in one kernel instance
+(``run_myula_tv_fused_packed``), which this script also measures.
 
 Run on the real chip: ``python scripts/bench_multichain.py``.
 Prints aggregate iters/s (= chains * steps / wall) per (size, chains).
@@ -19,7 +23,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-from lmc_atomi_tpu.kernels.myula_fused import run_myula_tv_fused
+from lmc_atomi_tpu.kernels.myula_fused import (
+    run_myula_tv_fused,
+    run_myula_tv_fused_packed,
+)
 from lmc_atomi_tpu.ops.functionals import L2Data
 from lmc_atomi_tpu.ops.linops import CirculantBlur2D, uniform_kernel
 from lmc_atomi_tpu.utils.images import phantom
@@ -56,6 +63,27 @@ def main(steps: int = 20000):
             print(
                 f"N={n} chains={c}: {steps * c / dt:.0f} aggregate iters/s"
                 f" ({steps / dt:.0f}/chain)",
+                flush=True,
+            )
+        # lane packing: fill the 128 lanes of one kernel instance
+        if n < 128:
+            c = 128 // n
+            xs = jnp.zeros((c, n, n), jnp.float32)
+            runp = jax.jit(
+                lambda x, k: run_myula_tv_fused_packed(
+                    l2, 0.3, 0.2 * gamma, gamma, x, k, steps,
+                    block=500, burn_in=1000,
+                )
+            )
+            out = runp(xs, jax.random.PRNGKey(1))
+            jax.block_until_ready(out.moments.mean)
+            t0 = time.perf_counter()
+            out = runp(xs, jax.random.PRNGKey(1))
+            jax.block_until_ready(out.moments.mean)
+            dt = time.perf_counter() - t0
+            print(
+                f"N={n} lane-packed x{c}: {steps * c / dt:.0f} aggregate"
+                f" iters/s ({steps / dt:.0f}/chain)",
                 flush=True,
             )
 

@@ -336,3 +336,93 @@ class TestFusedNoiseTPU:
         p_f = float(psnr(img, res_f.moments.mean))
         p_u = float(psnr(img, res_u.moments.mean))
         assert abs(p_f - p_u) < 0.1, (p_f, p_u)
+
+
+class TestLanePackedChains:
+    """run_myula_tv_fused_packed: C chains side-by-side along the lane axis
+    in ONE kernel instance. Deterministic parity: each packed chain's
+    recursion equals its solo single-chain fused run exactly (the periodic
+    column masks keep the TV stencils chain-local; the dual-roll select
+    keeps the gram circulant per chain)."""
+
+    def _solo_and_packed(self, n=32, c=2, n_steps=6, mode="tv",
+                         quantiles=(), tv_warm=False):
+        from lmc_atomi_tpu.kernels.myula_fused import (
+            run_myula_tv_fused_packed,
+        )
+
+        img, blur, y, l2, tau, gamma = _problem(n=n)
+        rng = np.random.default_rng(5)
+        x0 = jnp.asarray(rng.normal(size=(c, n, n)).astype(np.float32))
+        kw = dict(
+            niter_tv=5, block=3, noise_scale=0.0, burn_in=1,
+            interpret=not ON_TPU, quantiles=quantiles, tv_warm=tv_warm,
+        )
+        solo = [
+            run_myula_tv_fused(
+                l2, 0.3, tau, gamma, x0[i], jax.random.PRNGKey(7), n_steps,
+                **kw,
+            )
+            for i in range(c)
+        ]
+        packed = run_myula_tv_fused_packed(
+            l2, 0.3, tau, gamma, x0, jax.random.PRNGKey(7), n_steps, **kw
+        )
+        return solo, packed
+
+    @pytest.mark.parametrize("c", [2, 4])
+    def test_deterministic_parity_positions_and_moments(self, c):
+        solo, packed = self._solo_and_packed(c=c)
+        for i in range(c):
+            np.testing.assert_allclose(
+                np.asarray(packed.final_state.position[i]),
+                np.asarray(solo[i].final_state.position),
+                rtol=1e-5, atol=1e-6,
+            )
+            np.testing.assert_allclose(
+                np.asarray(packed.moments.mean[i]),
+                np.asarray(solo[i].moments.mean),
+                rtol=1e-5, atol=1e-6,
+            )
+        assert int(packed.moments.count) == int(solo[0].moments.count)
+
+    def test_parity_with_warm_dual_and_quantiles(self):
+        solo, packed = self._solo_and_packed(
+            c=2, quantiles=(0.5,), tv_warm=True
+        )
+        for i in range(2):
+            np.testing.assert_allclose(
+                np.asarray(packed.final_state.position[i]),
+                np.asarray(solo[i].final_state.position),
+                rtol=1e-5, atol=1e-6,
+            )
+            np.testing.assert_allclose(
+                np.asarray(packed.quantiles[0.5][i]),
+                np.asarray(solo[i].quantiles[0.5]),
+                rtol=1e-5, atol=1e-6,
+            )
+
+    def test_packed_gram_matches_spectral(self):
+        """The dual-roll packed gram equals CirculantBlur2D.gram_matvec on
+        each chain (pure-jnp _sep_gram via the interpret-free path)."""
+        from lmc_atomi_tpu.kernels.myula_fused import _sep_gram
+
+        class _Roll:
+            @staticmethod
+            def roll(v, s, axis):
+                return jnp.roll(v, s, axis)
+
+        n, c = 32, 4
+        _, blur, *_ = _problem(n=n)
+        taps = separable_gram_taps(blur.hh)
+        oy, ox = blur.hh.shape[0] // 2, blur.hh.shape[1] // 2
+        rng = np.random.default_rng(3)
+        xs = jnp.asarray(rng.normal(size=(c, n, n)).astype(np.float32))
+        packed = jnp.concatenate([xs[i] for i in range(c)], axis=1)
+        got = _sep_gram(packed, taps, oy, ox, _Roll, chain_nx=n)
+        for i in range(c):
+            want = blur.gram_matvec(xs[i])
+            np.testing.assert_allclose(
+                np.asarray(got[:, i * n:(i + 1) * n]), np.asarray(want),
+                rtol=2e-4, atol=2e-5,
+            )
