@@ -39,6 +39,7 @@ def ct_tv_myula(
     pnp_train_steps: int = 800,
     score_prior: bool = False,
     score_train_steps: int = 1500,
+    pc_correctors: int = 0,  # >0: Song-style PC corrector sweeps per step
     denoiser_sigma: float = 0.05,
     seed: int = 0,
     outdir: str = "fig",
@@ -186,7 +187,7 @@ def ct_tv_myula(
         # collection, so the collected posterior is the fixed-level
         # score-PnP posterior; tau_i = 0.5/(L_data + alpha/sigma_i^2)
         # keeps every level inside its stability region.
-        from lmc_atomi_tpu.kernels import score_ula
+        from lmc_atomi_tpu.kernels import score_ula, score_ula_pc
         from lmc_atomi_tpu.models.score import (
             geometric_sigmas,
             make_score_fn,
@@ -208,10 +209,20 @@ def ct_tv_myula(
             jnp.full((n_steps - burn_in,), denoiser_sigma, dtype),
         ])
         tau_sched = 0.5 / (lips + pnp_alpha / sig_sched**2)
-        kern_sc = score_ula(
-            l2.grad, score, sig_sched, tau_sched, alpha=pnp_alpha,
-            box=(-1.0, 2.0), box_weight=denoiser_sigma**2,
-        )
+        if pc_correctors > 0:
+            # predictor-corrector: re-equilibrate each annealing level
+            # (kernels/imaging.py::score_ula_pc) — costs (1 + n_c) score
+            # evaluations per step
+            kern_sc = score_ula_pc(
+                l2.grad, score, sig_sched, tau_sched, alpha=pnp_alpha,
+                n_corrector=pc_correctors,
+                box=(-1.0, 2.0), box_weight=denoiser_sigma**2,
+            )
+        else:
+            kern_sc = score_ula(
+                l2.grad, score, sig_sched, tau_sched, alpha=pnp_alpha,
+                box=(-1.0, 2.0), box_weight=denoiser_sigma**2,
+            )
         res_sc = run_chain_segmented(kern_sc, x_init,
                                      jax.random.fold_in(key, 6),
                                      n_steps, burn_in=burn_in)

@@ -1,5 +1,11 @@
 from lmc_atomi_tpu.kernels.base import Kernel, stepsize_at
-from lmc_atomi_tpu.kernels.imaging import myula_imaging, pnp_ula, score_ula, ulpda
+from lmc_atomi_tpu.kernels.imaging import (
+    myula_imaging,
+    pnp_ula,
+    score_ula,
+    score_ula_pc,
+    ulpda,
+)
 from lmc_atomi_tpu.kernels.myula_pallas import myula_imaging_fused
 from lmc_atomi_tpu.kernels.myula_fused import (
     myula_imaging_sep_fused,
@@ -67,6 +73,7 @@ __all__ = [
     "myula_imaging_fused",
     "pnp_ula",
     "score_ula",
+    "score_ula_pc",
     "myula_imaging_sep_fused",
     "run_myula_tv_fused",
     "run_myula_tv_fused_packed",

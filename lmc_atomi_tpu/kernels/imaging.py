@@ -27,7 +27,14 @@ from lmc_atomi_tpu.core.random import normal_like
 from lmc_atomi_tpu.core.state import SamplerState, StepInfo
 from lmc_atomi_tpu.kernels.base import Kernel, stepsize_at
 
-__all__ = ["ulpda", "myula_imaging", "pnp_ula", "score_ula", "ULPDAExtras"]
+__all__ = [
+    "ulpda",
+    "myula_imaging",
+    "pnp_ula",
+    "score_ula",
+    "score_ula_pc",
+    "ULPDAExtras",
+]
 
 
 class ULPDAExtras(NamedTuple):
@@ -193,5 +200,63 @@ def score_ula(
         if box is not None:
             drift = drift + (jnp.clip(x, box[0], box[1]) - x) / box_weight
         return state.next(x + t * drift + jnp.sqrt(2 * t) * xi), StepInfo()
+
+    return Kernel(init, step)
+
+
+def score_ula_pc(
+    grad_f: Callable,
+    score: Callable,
+    sigma,
+    tau,
+    alpha: float = 1.0,
+    n_corrector: int = 1,
+    snr: float = 0.16,
+    box: Optional[tuple] = None,
+    box_weight: float = 1.0,
+) -> Kernel:
+    """Predictor-corrector annealed score sampling (Song et al. 2021 PC
+    sampler, posterior form — beyond the reference, which has no learned
+    priors at all).
+
+    Each kernel step = one :func:`score_ula` predictor step at
+    ``(sigma_i, tau_i)`` followed by ``n_corrector`` Langevin corrector
+    sweeps at the SAME level with the SNR-calibrated step
+    ``eps_i = min(2 (snr sigma_i)^2, tau_i)`` (for a conditional score
+    ``s ~ -z/sigma``, Song's ``2 alpha (snr ||z||/||s||)^2`` reduces to
+    ``2 (snr sigma)^2``; the ``tau_i`` clamp keeps the data-term drift
+    inside its stability region).  The correctors re-equilibrate each
+    annealing level before the ladder moves on, which is where annealed
+    Langevin leaves accuracy on sharp multimodal priors.
+
+    ``n_corrector=0`` reduces EXACTLY to ``score_ula`` (same noise stream:
+    the predictor consumes the undivided step key).  Corrector noise comes
+    from per-sweep ``fold_in`` subkeys, so the kernel stays scan- and
+    checkpoint-safe.
+    """
+
+    def init(x0):
+        return SamplerState.init(x0)
+
+    def drift_at(x, s):
+        d = -grad_f(x) + alpha * score(x, s)
+        if box is not None:
+            d = d + (jnp.clip(x, box[0], box[1]) - x) / box_weight
+        return d
+
+    def step(state, key):
+        t = stepsize_at(tau, state.step)
+        s = stepsize_at(sigma, state.step)
+        x = state.position
+        # predictor: consumes the undivided key = score_ula's stream
+        x = x + t * drift_at(x, s) + jnp.sqrt(2 * t) * normal_like(key, x)
+        eps = jnp.minimum(2.0 * (snr * s) ** 2, t)
+        for j in range(n_corrector):
+            kj = jax.random.fold_in(key, j + 1)
+            x = (
+                x + eps * drift_at(x, s)
+                + jnp.sqrt(2 * eps) * normal_like(kj, x)
+            )
+        return state.next(x), StepInfo()
 
     return Kernel(init, step)

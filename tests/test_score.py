@@ -155,3 +155,81 @@ def test_annealed_schedule_survives_segmentation():
         np.asarray(mono.moments.mean), np.asarray(seg.moments.mean),
         rtol=1e-7,
     )
+
+
+class TestPredictorCorrector:
+    """kernels/imaging.py::score_ula_pc — Song-style PC annealed sampling."""
+
+    def test_zero_correctors_equals_score_ula(self):
+        from lmc_atomi_tpu.core.random import step_key
+        from lmc_atomi_tpu.kernels import score_ula, score_ula_pc
+
+        model = ScoreNet(depth=3, features=8)
+        x0 = 0.5 * jnp.ones((10, 10))
+        params = model.init(jax.random.PRNGKey(1), x0[None], jnp.ones((1,)))
+        score = make_score_fn(params, model.apply)
+        grad_f = lambda x: 2.0 * (x - 0.5)
+        kw = dict(alpha=0.8, box=(0.0, 1.0), box_weight=0.04)
+        k_a = score_ula(grad_f, score, 0.2, 0.01, **kw)
+        k_b = score_ula_pc(grad_f, score, 0.2, 0.01, n_corrector=0, **kw)
+        base = jax.random.PRNGKey(7)
+        sa, sb = k_a.init(x0), k_b.init(x0)
+        for i in range(5):
+            sa, _ = k_a.step(sa, step_key(base, i))
+            sb, _ = k_b.step(sb, step_key(base, i))
+        np.testing.assert_allclose(
+            np.asarray(sa.position), np.asarray(sb.position), rtol=1e-6,
+        )
+
+    def test_correctors_equilibrate_analytic_gaussian(self):
+        """Analytic conditional score of N(0, v): s(x, sig) = -x/(v+sig^2).
+        Annealed Langevin from a far-off init must land near the smoothed
+        stationary N(0, v + sig_min^2); correctors close the remaining
+        transient faster than predictor-only at the same ladder length."""
+        from lmc_atomi_tpu.core.random import step_key
+        from lmc_atomi_tpu.kernels import score_ula_pc
+        from lmc_atomi_tpu.models.score import geometric_sigmas
+
+        v = 0.25
+        score = lambda x, s: -x / (v + s * s)
+        grad_f = lambda x: jnp.zeros_like(x)
+        n_levels, per = 12, 4
+        ladder = jnp.repeat(
+            geometric_sigmas(1.0, 0.05, n_levels, jnp.float32), per
+        )
+        tau = 0.5 * (v + ladder**2) / (v / ladder**2 + 1.0)  # ~stable
+        x0 = 3.0 * jnp.ones((64, 64), jnp.float32)  # far off
+
+        def run(n_corr, seed):
+            kern = score_ula_pc(
+                grad_f, score, ladder, tau, n_corrector=n_corr, snr=0.3,
+            )
+            st = kern.init(x0)
+            base = jax.random.PRNGKey(seed)
+            for i in range(n_levels * per):
+                st, _ = kern.step(st, step_key(base, i))
+            return np.var(np.asarray(st.position))
+
+        target = v + 0.05**2
+        err_pc = abs(run(3, 0) - target)
+        err_p = abs(run(0, 0) - target)
+        assert err_pc < err_p  # correctors equilibrate better
+        assert err_pc < 0.25 * target
+
+    def test_snr_clamp_keeps_data_term_stable(self):
+        """eps is clamped to tau: with a stiff data term the corrector must
+        not blow up even when 2(snr*sigma)^2 >> tau."""
+        from lmc_atomi_tpu.core.random import step_key
+        from lmc_atomi_tpu.kernels import score_ula_pc
+
+        lips = 400.0
+        grad_f = lambda x: lips * x
+        score = lambda x, s: -x / (0.1 + s * s)
+        tau = 0.5 / lips
+        kern = score_ula_pc(grad_f, score, 2.0, tau, n_corrector=2, snr=1.0)
+        st = kern.init(jnp.ones((16, 16), jnp.float32))
+        base = jax.random.PRNGKey(0)
+        for i in range(50):
+            st, _ = kern.step(st, step_key(base, i))
+        assert np.isfinite(np.asarray(st.position)).all()
+        assert float(jnp.abs(st.position).max()) < 10.0
