@@ -25,8 +25,12 @@ Box-Muller noise, streaming Welford moments — fuses into ONE Pallas kernel
 with the state resident in VMEM across many steps per launch.
 
 Supported configuration (= the deconvolution workload's): ``a_op`` is the
-forward-difference ``Gradient2D``, ``proxg`` is ``L21Norm`` (isotropic) or
-``L1Norm`` (anisotropic), ``proxf`` is ``L2Data`` or isotropic
+forward-difference ``Gradient2D`` (``proxg`` = ``L21Norm`` isotropic or
+``L1Norm`` anisotropic) or the orthogonal ``HaarDWT2D`` (``proxg`` =
+``L1Norm`` — the wavelet-domain dual, computed in-kernel by the
+interleaved lifting DWT of kernels/wavelet_fused.py; the returned dual
+state is in the INTERLEAVED layout, a fixed permutation of the unfused
+Mallat layout), ``proxf`` is ``L2Data`` or isotropic
 ``L2NcvxTV`` over a ``CirculantBlur2D`` with a cached small-PSF
 autocorrelation, constant ``tau``/``mu``, ``z=None``. Both ``gfirst``
 orders. Deterministic parity with the unfused kernel is gated in
@@ -69,14 +73,23 @@ __all__ = [
 
 
 def ulpda_fused_supported(proxf, proxg, a_op, shape, dtype) -> bool:
-    """Whether the fused ULPDA path applies (see module docstring)."""
+    """Whether the fused ULPDA path applies (see module docstring).
+
+    Duals: forward-difference ``Gradient2D`` (+ ``L21Norm``/``L1Norm``) or
+    the orthogonal Haar DWT ``HaarDWT2D`` (+ ``L1Norm`` — the wavelet-domain
+    dual runs in-kernel via the interleaved lifting transform)."""
     from lmc_atomi_tpu.kernels.myula_fused import sep_fused_supported
     from lmc_atomi_tpu.ops.functionals import L1Norm, L21Norm
     from lmc_atomi_tpu.ops.linops import Gradient2D
+    from lmc_atomi_tpu.ops.wavelet import HaarDWT2D
 
-    if not isinstance(a_op, Gradient2D) or float(a_op.sampling) != 1.0:
-        return False
-    if not isinstance(proxg, (L21Norm, L1Norm)):
+    if isinstance(a_op, Gradient2D) and float(a_op.sampling) == 1.0:
+        if not isinstance(proxg, (L21Norm, L1Norm)):
+            return False
+    elif isinstance(a_op, HaarDWT2D):
+        if not isinstance(proxg, L1Norm):
+            return False
+    else:
         return False
     if not sep_fused_supported(getattr(proxf, "op", None), shape, dtype):
         return False
@@ -129,7 +142,7 @@ def _ulpda_kernel(
     seed_ref, scal_ref, int_ref,
     xo_ref, pyo_ref, pxo_ref, xbo_ref, meano_ref, m2o_ref,
     *, taps, oy, ox, lam, n_steps, niter_solve, tv_step, gfirst, dual,
-    mode, niter_inner, with_noise, with_stats, env_warm,
+    mode, niter_inner, with_noise, with_stats, env_warm, levels,
 ):
     from jax.experimental.pallas import tpu as pltpu
 
@@ -160,15 +173,45 @@ def _ulpda_kernel(
     # sum|hh| >= lambda_max(A^T A)
     ts = tau * sigma
 
-    def dual_prox(py, px):
-        if dual == "l21":
-            nrm = jnp.sqrt(py * py + px * px)
-            scale = jnp.minimum(1.0, g_sigma / jnp.maximum(nrm, 1e-30))
-            return py * scale, px * scale
-        return (
-            jnp.clip(py, -g_sigma, g_sigma),
-            jnp.clip(px, -g_sigma, g_sigma),
+    if dual == "wl1":
+        # wavelet-domain dual: A = interleaved orthogonal Haar DWT
+        # (kernels/wavelet_fused.py), single coefficient field in py,
+        # px is a dead (1, 1) placeholder; the l-inf clip commutes with
+        # the interleaved permutation so the x-sequence equals the
+        # Mallat-layout unfused ULPDA's
+        from lmc_atomi_tpu.kernels.wavelet_fused import (
+            _iotas,
+            haar_interleaved,
+            haar_interleaved_inv,
         )
+
+        iotas = _iotas(x.shape)
+
+        def roll(v, s, axis):
+            return pltpu.roll(v, s, axis)
+
+        def dual_update(py, px, xbar):
+            c = py + mu * haar_interleaved(xbar, levels, roll, iotas)
+            return jnp.clip(c, -g_sigma, g_sigma), px
+
+        def aty_of(py, px):
+            return haar_interleaved_inv(py, levels, roll, iotas)
+    else:
+
+        def dual_update(py, px, xbar):
+            py = py + mu * fwd_y(xbar)
+            px = px + mu * fwd_x(xbar)
+            if dual == "l21":
+                nrm = jnp.sqrt(py * py + px * px)
+                scale = jnp.minimum(1.0, g_sigma / jnp.maximum(nrm, 1e-30))
+                return py * scale, px * scale
+            return (
+                jnp.clip(py, -g_sigma, g_sigma),
+                jnp.clip(px, -g_sigma, g_sigma),
+            )
+
+        def aty_of(py, px):
+            return -div(py, px)
 
     def prox_f(v, warm, env_dual):
         # L2NcvxTV concave-part linearization (ops/ncvx_tv.py::prox)
@@ -206,19 +249,19 @@ def _ulpda_kernel(
         # the genuine value, not a stand-in).
         x, py, px, xbar, env_dual, mean, m2 = carry
         if gfirst:
-            py, px = dual_prox(py + mu * fwd_y(xbar), px + mu * fwd_x(xbar))
-            aty = -div(py, px)
+            py, px = dual_update(py, px, xbar)
+            aty = aty_of(py, px)
             x_new, env_dual = prox_f(x - tau * aty, x, env_dual)
             if with_noise:
                 x_new = x_new + noise_amp * xi
             xbar = x_new + theta * (x_new - x)
         else:
-            aty = -div(py, px)
+            aty = aty_of(py, px)
             x_new, env_dual = prox_f(x - tau * aty, x, env_dual)
             if with_noise:
                 x_new = x_new + noise_amp * xi
             xbar = x_new + theta * (x_new - x)
-            py, px = dual_prox(py + mu * fwd_y(xbar), px + mu * fwd_x(xbar))
+            py, px = dual_update(py, px, xbar)
         if with_stats:
             g = step0 + i
             w = (g >= burn).astype(jnp.int32)
@@ -271,7 +314,7 @@ def _ulpda_kernel(
     static_argnames=(
         "taps", "oy", "ox", "lam", "n_steps", "niter_solve", "tv_step",
         "gfirst", "dual", "mode", "niter_inner", "with_noise", "with_stats",
-        "interpret", "env_warm",
+        "interpret", "env_warm", "levels",
     ),
 )
 def ulpda_block_update(
@@ -281,13 +324,15 @@ def ulpda_block_update(
     tv_step: float = 0.25, gfirst: bool = False, dual: str = "l21",
     mode: str = "tv", niter_inner: int = 10, with_noise: bool = True,
     with_stats: bool = True, interpret: bool = False,
-    env_warm: bool = False,
+    env_warm: bool = False, levels: int = 3,
 ):
     """``n_steps`` fused ULPDA steps. ``scal_f = [tau, mu, theta,
     noise_scale, sigma, g_sigma(, lamda, gamma_mc)]``; ``scal_i = [step0,
     burn_in, count0]``. ``env_warm`` carries the ME-TV Moreau-envelope
-    Chambolle dual across the block's steps (metv mode only). Returns
-    ``(x', py', px', xbar', mean', m2')``."""
+    Chambolle dual across the block's steps (metv mode only). ``dual``:
+    ``"l21"``/``"l1"`` (Gradient2D dual in py/px) or ``"wl1"`` (interleaved
+    level-``levels`` Haar coefficient dual in py; px is a dead (1, 1)
+    placeholder). Returns ``(x', py', px', xbar', mean', m2')``."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -301,6 +346,7 @@ def ulpda_block_update(
         tv_step=tv_step, gfirst=gfirst, dual=dual, mode=mode,
         niter_inner=niter_inner, with_noise=with_noise,
         with_stats=with_stats, env_warm=env_warm and mode == "metv",
+        levels=levels,
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -318,8 +364,8 @@ def ulpda_block_update(
         kern,
         out_shape=(
             jax.ShapeDtypeStruct(x.shape, x.dtype),
-            jax.ShapeDtypeStruct(x.shape, x.dtype),
-            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.ShapeDtypeStruct(py.shape, x.dtype),
+            jax.ShapeDtypeStruct(px.shape, x.dtype),
             jax.ShapeDtypeStruct(xbar_shape, x.dtype),
             jax.ShapeDtypeStruct(stat_shape, x.dtype),
             jax.ShapeDtypeStruct(stat_shape, x.dtype),
@@ -335,19 +381,26 @@ def ulpda_block_update(
     return out
 
 
-def _ulpda_setup(proxf, proxg, tau, mu):
+def _ulpda_setup(proxf, proxg, a_op, tau, mu):
     import numpy as np
 
     from lmc_atomi_tpu.ops.functionals import L21Norm
+    from lmc_atomi_tpu.ops.wavelet import HaarDWT2D
 
     taps, (oy, ox), atbs = _fused_params(proxf, 0.0, tau, 1.0, 0)
     mode, lamda, gamma_mc, niter_inner = _fused_mode(proxf)
     # _fused_params returns sigma * A^T b; the ULPDA kernel wants raw A^T b
     atb = atbs / proxf.sigma
-    dual = "l21" if isinstance(proxg, L21Norm) else "l1"
+    levels = 0
+    if isinstance(a_op, HaarDWT2D):
+        dual = "wl1"
+        levels = int(a_op.levels)
+    else:
+        dual = "l21" if isinstance(proxg, L21Norm) else "l1"
     # static bound lambda_max(A^T A) <= sum|hh| (exact for nonneg PSFs)
     lam = float(np.abs(np.asarray(proxf.op.hh)).sum())
-    return taps, (oy, ox), atb, mode, lamda, gamma_mc, niter_inner, dual, lam
+    return (taps, (oy, ox), atb, mode, lamda, gamma_mc, niter_inner, dual,
+            lam, levels)
 
 
 def _pack_ulpda_scal(proxf, proxg, tau, mu, theta, noise_scale, lamda,
@@ -383,12 +436,13 @@ def ulpda_sep_fused(
     ``ulpda(proxf, proxg, a_op, tau, mu, theta, gfirst=...)`` on TPU when
     :func:`ulpda_fused_supported` holds."""
     (taps, (oy, ox), atb, mode, lamda, gamma_mc, niter_inner, dual,
-     lam) = _ulpda_setup(proxf, proxg, tau, mu)
+     lam, levels) = _ulpda_setup(proxf, proxg, a_op, tau, mu)
     dummy = jnp.zeros((1, 1), atb.dtype)
+    n_dual = 1 if dual == "wl1" else 2
 
     def init(x0, y0=None):
         y = (
-            jnp.zeros((2,) + x0.shape, x0.dtype) if y0 is None
+            jnp.zeros((n_dual,) + x0.shape, x0.dtype) if y0 is None
             else jnp.asarray(y0)
         )
         return SamplerState.init(x0, extras=ULPDAExtras(y=y, xbar=x0))
@@ -403,19 +457,19 @@ def ulpda_sep_fused(
         )
         scal_i = jnp.zeros((3,), jnp.int32)
         x_n, py_n, px_n, xb_n, _, _ = ulpda_block_update(
-            x, y[0], y[1], xbar, atb, dummy, dummy,
+            x, y[0], y[1] if n_dual == 2 else dummy, xbar, atb, dummy, dummy,
             _key_seed(key, base_seed), scal_f, scal_i,
             taps=taps, oy=oy, ox=ox, lam=lam, n_steps=1,
             niter_solve=niter_solve,
             gfirst=gfirst, dual=dual, mode=mode, niter_inner=niter_inner,
             with_noise=noise_scale != 0.0, with_stats=False,
-            interpret=interpret,
+            interpret=interpret, levels=levels,
         )
-        xb_out = xb_n
+        y_n = (
+            py_n[None] if n_dual == 1 else jnp.stack([py_n, px_n])
+        )
         return (
-            state.next(
-                x_n, extras=ULPDAExtras(y=jnp.stack([py_n, px_n]), xbar=xb_out)
-            ),
+            state.next(x_n, extras=ULPDAExtras(y=y_n, xbar=xb_n)),
             StepInfo(),
         )
 
@@ -458,7 +512,7 @@ def run_ulpda_fused(
     ``gfirst=True`` kernel would apply a SECOND dual update with the same
     ``xbar``, which is a different recursion, not a resume."""
     (taps, (oy, ox), atb, mode, lamda, gamma_mc, niter_inner_l2, dual,
-     lam) = _ulpda_setup(proxf, proxg, tau, mu)
+     lam, levels) = _ulpda_setup(proxf, proxg, a_op, tau, mu)
     if niter_inner is None:
         niter_inner = niter_inner_l2
     if block is None:
@@ -472,6 +526,7 @@ def run_ulpda_fused(
         proxf, proxg, tau, mu, theta, noise_scale, lamda, gamma_mc, x0.dtype
     )
     zeros = jnp.zeros_like(x0)
+    px0 = jnp.zeros((1, 1), x0.dtype) if dual == "wl1" else zeros
     xbar0 = x0
 
     def body(carry, b):
@@ -488,18 +543,19 @@ def run_ulpda_fused(
             niter_solve=niter_solve,
             gfirst=gfirst, dual=dual, mode=mode, niter_inner=niter_inner,
             with_noise=noise_scale != 0.0, with_stats=True,
-            interpret=interpret, env_warm=env_warm,
+            interpret=interpret, env_warm=env_warm, levels=levels,
         )
         return (x, py, px, xbar, mean, m2), None
 
     (x, py, px, xbar, mean, m2), _ = jax.lax.scan(
-        body, (x0, zeros, zeros, xbar0, zeros, zeros),
+        body, (x0, zeros, px0, xbar0, zeros, zeros),
         jnp.arange(n_blocks, dtype=jnp.int32),
     )
     count = jnp.asarray(max(n_steps - burn_in, 0), jnp.int32)
+    y_fin = py[None] if dual == "wl1" else jnp.stack([py, px])
     return FusedChainResult(
         final_state=SamplerState.init(
-            x, extras=ULPDAExtras(y=jnp.stack([py, px]), xbar=xbar)
+            x, extras=ULPDAExtras(y=y_fin, xbar=xbar)
         ),
         moments=RunningMoments(count=count, mean=mean, m2=m2),
     )

@@ -313,3 +313,72 @@ class TestFusedUlpdaNoiseTPU:
         p_f = float(psnr(img, res_f.moments.mean))
         p_u = float(psnr(img, res_u.moments.mean))
         assert abs(p_f - p_u) < 0.15, (p_f, p_u)
+
+
+class TestWaveletDualDeconv:
+    """dual="wl1": the fused ULPDA with the in-kernel interleaved Haar dual
+    against the Mallat-layout unfused recursion (the l-inf clip commutes
+    with the interleaved permutation, so x-sequences agree to gram-solver
+    tolerance)."""
+
+    @pytest.mark.parametrize("gfirst", [False, True])
+    def test_parity_vs_reference_recursion(self, gfirst):
+        from lmc_atomi_tpu.ops.wavelet import HaarDWT2D
+
+        img, blur, y, sigma, tau, mu = _problem(n=32)
+        proxf = L2Data.create(op=blur, b=y, sigma=sigma)
+        proxg = L1Norm(sigma=0.3)
+        wav = HaarDWT2D(levels=3)
+        n = 7
+        want, _, _ = _reference_steps(
+            proxf, proxg, wav, y, tau, mu, n, gfirst
+        )
+        res = run_ulpda_fused(
+            proxf, proxg, wav, tau, mu, y, jax.random.PRNGKey(0), n,
+            block=n, gfirst=gfirst, noise_scale=0.0, niter_solve=8,
+            interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.final_state.position), np.asarray(want),
+            rtol=2e-4, atol=2e-5,
+        )
+        # single-field interleaved dual state
+        assert res.final_state.extras.y.shape == (1,) + img.shape
+
+    def test_supported_gating(self):
+        from lmc_atomi_tpu.ops.wavelet import HaarDWT2D
+
+        img, blur, y, sigma, tau, mu = _problem(n=32)
+        proxf = L2Data.create(op=blur, b=y, sigma=sigma)
+        assert ulpda_fused_supported(
+            proxf, L1Norm(sigma=0.3), HaarDWT2D(levels=3), img.shape,
+            img.dtype,
+        ) == ON_TPU
+        # isotropic L21 has no wavelet-domain meaning: rejected
+        assert not ulpda_fused_supported(
+            proxf, L21Norm(sigma=0.3), HaarDWT2D(levels=3), img.shape,
+            img.dtype,
+        )
+
+    def test_kernel_protocol_wrapper_blocks_match(self):
+        """ulpda_sep_fused (1 step/call) equals run_ulpda_fused blocks."""
+        from lmc_atomi_tpu.ops.wavelet import HaarDWT2D
+
+        img, blur, y, sigma, tau, mu = _problem(n=32)
+        proxf = L2Data.create(op=blur, b=y, sigma=sigma)
+        proxg = L1Norm(sigma=0.3)
+        wav = HaarDWT2D(levels=2)
+        kern = ulpda_sep_fused(
+            proxf, proxg, wav, tau, mu, noise_scale=0.0, interpret=True,
+        )
+        st = kern.init(y)
+        for i in range(4):
+            st, _ = kern.step(st, jax.random.PRNGKey(i))
+        res = run_ulpda_fused(
+            proxf, proxg, wav, tau, mu, y, jax.random.PRNGKey(0), 4,
+            block=2, noise_scale=0.0, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(st.position),
+            np.asarray(res.final_state.position), rtol=1e-5, atol=1e-6,
+        )
