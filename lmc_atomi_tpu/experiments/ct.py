@@ -39,6 +39,7 @@ def ct_tv_myula(
     pnp_train_steps: int = 800,
     score_prior: bool = False,
     score_train_steps: int = 1500,
+    score_arch: str = "cnn",  # 'cnn' | 'unet' (models/score.py::ScoreUNet)
     pc_correctors: int = 0,  # >0: Song-style PC corrector sweeps per step
     denoiser_sigma: float = 0.05,
     seed: int = 0,
@@ -197,7 +198,7 @@ def ct_tv_myula(
         s_params, s_apply, _ = train_score_net(
             jax.random.fold_in(key, 5), sigma_max=0.4,
             sigma_min=denoiser_sigma, n_sigmas=8,
-            steps=score_train_steps,
+            steps=score_train_steps, arch=score_arch,
         )
         score = make_score_fn(s_params, s_apply)
         ladder = geometric_sigmas(0.4, denoiser_sigma, 8, dtype)

@@ -36,6 +36,7 @@ from lmc_atomi_tpu.utils.synthetic import random_phantom_batch
 
 __all__ = [
     "ScoreNet",
+    "ScoreUNet",
     "train_score_net",
     "make_score_fn",
     "score_to_denoiser",
@@ -97,6 +98,62 @@ class ScoreNet(nn.Module):
         return out[..., 0]
 
 
+class _FiLMBlock(nn.Module):
+    """Pre-activation residual conv block with FiLM sigma conditioning."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, h, emb):
+        scale = nn.Dense(self.features, name="film_s")(emb)
+        shift = nn.Dense(self.features, name="film_b")(emb)
+        g = nn.Conv(self.features, (3, 3), padding="SAME", name="conv")(
+            nn.silu(h)
+        )
+        g = g * (1.0 + scale[:, None, None, :]) + shift[:, None, None, :]
+        if h.shape[-1] != self.features:
+            h = nn.Conv(self.features, (1, 1), name="skip")(h)
+        return h + g
+
+
+class ScoreUNet(nn.Module):
+    """Noise-conditional U-Net score head (NCSN-style encoder/decoder).
+
+    The flat ``ScoreNet`` sees a (2*depth+1)-pixel receptive field — enough
+    for the fine ladder levels but blind to the long-range structure the
+    COARSE levels need (at sigma ~ 0.5 the score field is dominated by
+    shape-scale features).  Two strided downsamplings widen the field ~4x
+    at the bottleneck for the same FLOP budget: stride-2 convs down,
+    ``ConvTranspose`` up, concat skips, FiLM conditioning in every block
+    (cf. ``ScoreNet``).  ``__call__(x, sigma) -> eps_hat``, x (batch, n, n)
+    with n divisible by ``2 ** (len(features) - 1)``.
+    """
+
+    features: Tuple[int, ...] = (32, 64, 96)
+    emb_features: int = 64
+
+    @nn.compact
+    def __call__(self, x, sigma):
+        emb = _SigmaEmbed(self.emb_features, name="sigma_embed")(sigma)
+        h = nn.Conv(self.features[0], (3, 3), padding="SAME",
+                    name="conv_in")(x[..., None])
+        skips = []
+        for i, f in enumerate(self.features[:-1]):
+            h = _FiLMBlock(f, name=f"down{i}")(h, emb)
+            skips.append(h)
+            h = nn.Conv(self.features[i + 1], (3, 3), strides=(2, 2),
+                        padding="SAME", name=f"pool{i}")(h)
+        h = _FiLMBlock(self.features[-1], name="mid0")(h, emb)
+        h = _FiLMBlock(self.features[-1], name="mid1")(h, emb)
+        for i, f in reversed(list(enumerate(self.features[:-1]))):
+            h = nn.ConvTranspose(f, (3, 3), strides=(2, 2), padding="SAME",
+                                 name=f"up{i}")(h)
+            h = jnp.concatenate([h, skips[i]], axis=-1)
+            h = _FiLMBlock(f, name=f"dec{i}")(h, emb)
+        out = nn.Conv(1, (3, 3), padding="SAME", name="conv_out")(nn.silu(h))
+        return out[..., 0]
+
+
 def train_score_net(
     key,
     sigma_max: float = 0.5,
@@ -108,18 +165,26 @@ def train_score_net(
     lr: float = 1e-3,
     depth: int = 6,
     features: int = 48,
+    arch: str = "cnn",  # 'cnn' (flat ScoreNet) | 'unet' (ScoreUNet)
+    unet_features: Tuple[int, ...] = (32, 64, 96),
+    image_class: str = "phantom",  # 'phantom' | 'terrain' training class
 ) -> Tuple[dict, Callable, jnp.ndarray]:
-    """Denoising score matching on random phantoms; returns
-    ``(params, apply_fn, sigmas)``.
+    """Denoising score matching on random images of ``image_class``;
+    returns ``(params, apply_fn, sigmas)``.
 
     Per element: draw a ladder level sigma_i, perturb ``x = x0 + sigma_i z``
     and regress ``eps_hat(x, sigma_i) -> z`` — the sigma^2-weighted DSM
     objective in the noise-prediction parametrization (uniform weight on
     ``eps`` <=> lambda(sigma)=sigma^2 on the score residual).
+    ``arch="unet"`` trains the wider-receptive-field :class:`ScoreUNet`
+    (``patch`` must divide by ``2 ** (len(unet_features) - 1)``).
     """
     import optax
 
-    model = ScoreNet(depth=depth, features=features)
+    if arch == "unet":
+        model = ScoreUNet(features=tuple(unet_features))
+    else:
+        model = ScoreNet(depth=depth, features=features)
     sigmas = geometric_sigmas(sigma_max, sigma_min, n_sigmas)
     k_init, k_train = jax.random.split(key)
     params = model.init(
@@ -128,10 +193,17 @@ def train_score_net(
     opt = optax.adam(lr)
     opt_state = opt.init(params)
 
+    if image_class == "terrain":
+        from lmc_atomi_tpu.utils.synthetic import random_terrain_batch
+
+        gen_batch = random_terrain_batch
+    else:
+        gen_batch = random_phantom_batch
+
     @jax.jit
     def train_step(params, opt_state, k):
         k_img, k_lvl, k_noise = jax.random.split(k, 3)
-        clean = random_phantom_batch(k_img, batch, patch)
+        clean = gen_batch(k_img, batch, patch)
         lvl = jax.random.randint(k_lvl, (batch,), 0, n_sigmas)
         sig = sigmas[lvl]
         z = jax.random.normal(k_noise, clean.shape, clean.dtype)

@@ -9,7 +9,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["random_phantom", "random_phantom_batch"]
+__all__ = [
+    "random_phantom",
+    "random_phantom_batch",
+    "random_terrain",
+    "random_terrain_batch",
+]
 
 
 def random_phantom(key, n: int, n_shapes: int = 6, dtype=jnp.float32):
@@ -46,5 +51,35 @@ def random_phantom(key, n: int, n_shapes: int = 6, dtype=jnp.float32):
 
 def random_phantom_batch(key, batch: int, n: int, dtype=jnp.float32):
     return jax.vmap(lambda k: random_phantom(k, n, dtype=dtype))(
+        jax.random.split(key, batch)
+    )
+
+
+def random_terrain(key, n: int, dtype=jnp.float32, beta: float = 1.6):
+    """Random natural-statistics textured image in [0, 1] (device-side).
+
+    The per-key randomized counterpart of ``utils/images.py::terrain``:
+    1/f^beta spectral synthesis (beta jittered +-0.2 per draw), tanh tone
+    curve, and a dark ridge along a random level set.  Training data for
+    score/denoiser priors on the terrain class — pure jnp, complex FFT
+    intermediates stay inside the surrounding jit."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    white = jax.random.normal(k1, (n, n), dtype)
+    f = jnp.fft.fftfreq(n).astype(dtype)
+    rad = jnp.sqrt(f[:, None] ** 2 + f[None, :] ** 2).at[0, 0].set(1.0 / n)
+    b = beta + 0.2 * jax.random.uniform(k2, (), dtype, -1.0, 1.0)
+    spec = jnp.fft.fft2(white) * rad ** (-b)
+    spec = spec.at[0, 0].set(0.0)
+    base = jnp.real(jnp.fft.ifft2(spec)).astype(dtype)
+    base = (base - base.mean()) / (base.std() + 1e-12)
+    img = 0.5 + 0.2 * jnp.tanh(0.9 * base)
+    q = jax.random.uniform(k3, (), dtype, 0.35, 0.75)
+    thr = jnp.quantile(base, q)
+    img = jnp.where(jnp.abs(base - thr) < 0.035, 0.35 * img, img)
+    return jnp.clip(img, 0.0, 1.0)
+
+
+def random_terrain_batch(key, batch: int, n: int, dtype=jnp.float32):
+    return jax.vmap(lambda k: random_terrain(k, n, dtype=dtype))(
         jax.random.split(key, batch)
     )
