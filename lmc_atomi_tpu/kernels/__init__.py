@@ -19,6 +19,7 @@ from lmc_atomi_tpu.kernels.wavelet_fused import (
 )
 from lmc_atomi_tpu.kernels.ulpda_fused import (
     run_ulpda_fused,
+    run_ulpda_fused_packed,
     ulpda_fused_supported,
     ulpda_sep_fused,
 )
@@ -82,5 +83,6 @@ __all__ = [
     "sep_fused_supported",
     "ulpda_sep_fused",
     "run_ulpda_fused",
+    "run_ulpda_fused_packed",
     "ulpda_fused_supported",
 ]

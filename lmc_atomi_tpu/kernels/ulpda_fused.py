@@ -69,6 +69,7 @@ __all__ = [
     "ulpda_block_update",
     "ulpda_sep_fused",
     "run_ulpda_fused",
+    "run_ulpda_fused_packed",
 ]
 
 
@@ -101,7 +102,7 @@ def ulpda_fused_supported(proxf, proxg, a_op, shape, dtype) -> bool:
 
 
 def _chebyshev_gram_solve(rhs, u0, ts, lam, taps, oy, ox, niter: int,
-                          pltpu):
+                          pltpu, chain_nx: int = 0):
     """Fixed-trip Chebyshev semi-iteration for ``(I + ts A^T A) u = rhs``,
     warm-started at u0, spectrum bound ``[1, 1 + ts lam]``.
 
@@ -118,7 +119,7 @@ def _chebyshev_gram_solve(rhs, u0, ts, lam, taps, oy, ox, niter: int,
     sigma = theta / delta
 
     def apply_m(u):
-        return u + ts * _sep_gram(u, taps, oy, ox, pltpu)
+        return u + ts * _sep_gram(u, taps, oy, ox, pltpu, chain_nx)
 
     if niter <= 0:
         return u0
@@ -142,7 +143,7 @@ def _ulpda_kernel(
     seed_ref, scal_ref, int_ref,
     xo_ref, pyo_ref, pxo_ref, xbo_ref, meano_ref, m2o_ref,
     *, taps, oy, ox, lam, n_steps, niter_solve, tv_step, gfirst, dual,
-    mode, niter_inner, with_noise, with_stats, env_warm, levels,
+    mode, niter_inner, with_noise, with_stats, env_warm, levels, chain_nx,
 ):
     from jax.experimental.pallas import tpu as pltpu
 
@@ -162,7 +163,7 @@ def _ulpda_kernel(
     step0 = int_ref[0]
     burn = int_ref[1]
     cnt0 = int_ref[2]
-    masks = _masks(x.shape, x.dtype)
+    masks = _masks(x.shape, x.dtype, chain_nx)
     dtype = x.dtype
     fwd_y, fwd_x, div = _grad_div_ops(x.shape, masks, pltpu)
 
@@ -238,7 +239,7 @@ def _ulpda_kernel(
             v = v + (tau * lamda / gamma_mc) * (v - p)
         rhs = v + ts * atb
         u = _chebyshev_gram_solve(
-            rhs, warm, ts, lam, taps, oy, ox, niter_solve, pltpu
+            rhs, warm, ts, lam, taps, oy, ox, niter_solve, pltpu, chain_nx
         )
         return u, env_dual
 
@@ -314,7 +315,7 @@ def _ulpda_kernel(
     static_argnames=(
         "taps", "oy", "ox", "lam", "n_steps", "niter_solve", "tv_step",
         "gfirst", "dual", "mode", "niter_inner", "with_noise", "with_stats",
-        "interpret", "env_warm", "levels",
+        "interpret", "env_warm", "levels", "chain_nx",
     ),
 )
 def ulpda_block_update(
@@ -324,7 +325,7 @@ def ulpda_block_update(
     tv_step: float = 0.25, gfirst: bool = False, dual: str = "l21",
     mode: str = "tv", niter_inner: int = 10, with_noise: bool = True,
     with_stats: bool = True, interpret: bool = False,
-    env_warm: bool = False, levels: int = 3,
+    env_warm: bool = False, levels: int = 3, chain_nx: int = 0,
 ):
     """``n_steps`` fused ULPDA steps. ``scal_f = [tau, mu, theta,
     noise_scale, sigma, g_sigma(, lamda, gamma_mc)]``; ``scal_i = [step0,
@@ -346,7 +347,7 @@ def ulpda_block_update(
         tv_step=tv_step, gfirst=gfirst, dual=dual, mode=mode,
         niter_inner=niter_inner, with_noise=with_noise,
         with_stats=with_stats, env_warm=env_warm and mode == "metv",
-        levels=levels,
+        levels=levels, chain_nx=chain_nx,
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -495,6 +496,7 @@ def run_ulpda_fused(
     interpret: bool = False,
     env_warm: bool = False,
     niter_inner: Optional[int] = None,
+    chain_nx: int = 0,
 ):
     """Block-fused ULPDA chain: lax.scan over blocks of fused in-VMEM steps
     with in-kernel Welford posterior moments (cf. run_myula_tv_fused).
@@ -515,6 +517,14 @@ def run_ulpda_fused(
      lam, levels) = _ulpda_setup(proxf, proxg, a_op, tau, mu)
     if niter_inner is None:
         niter_inner = niter_inner_l2
+    if chain_nx and dual == "wl1":
+        raise ValueError(
+            "lane packing is unsupported for the wavelet dual: the lifting "
+            "butterflies at stride >= chain width would pair lanes across "
+            "chain seams"
+        )
+    if chain_nx and atb.shape[1] == chain_nx and x0.shape[1] != chain_nx:
+        atb = jnp.tile(atb, (1, x0.shape[1] // chain_nx))
     if block is None:
         block = min(n_steps, 128)
     while n_steps % block:
@@ -544,6 +554,7 @@ def run_ulpda_fused(
             gfirst=gfirst, dual=dual, mode=mode, niter_inner=niter_inner,
             with_noise=noise_scale != 0.0, with_stats=True,
             interpret=interpret, env_warm=env_warm, levels=levels,
+            chain_nx=chain_nx,
         )
         return (x, py, px, xbar, mean, m2), None
 
@@ -558,4 +569,52 @@ def run_ulpda_fused(
             x, extras=ULPDAExtras(y=y_fin, xbar=xbar)
         ),
         moments=RunningMoments(count=count, mean=mean, m2=m2),
+    )
+
+
+def run_ulpda_fused_packed(
+    proxf: Any,
+    proxg: Any,
+    a_op: Any,
+    tau,
+    mu,
+    x0,  # (n_chains, ny, nx) independent chains of the SAME posterior
+    key,
+    n_steps: int,
+    **kwargs,
+):
+    """Lane-packed multi-chain fused ULPDA (cf.
+    ``run_myula_tv_fused_packed``): chains of one posterior sit side-by-side
+    along the lane axis in ONE kernel instance — periodic column masks keep
+    the gradient-dual stencils chain-local and the dual-roll ``_sep_gram``
+    keeps the blur gram circulant per chain.  Gradient2D duals only (the
+    wavelet dual's lifting butterflies would pair lanes across chain
+    seams).  Accepts every ``run_ulpda_fused`` keyword."""
+    x0 = jnp.asarray(x0)
+    if x0.ndim != 3:
+        raise ValueError("packed runner wants x0 of shape (n_chains, ny, nx)")
+    c, ny, nxc = x0.shape
+    xp = jnp.concatenate([x0[i] for i in range(c)], axis=1)
+    res = run_ulpda_fused(
+        proxf, proxg, a_op, tau, mu, xp, key, n_steps, chain_nx=nxc,
+        **kwargs,
+    )
+
+    def unpack(a):
+        return jnp.stack([a[:, i * nxc:(i + 1) * nxc] for i in range(c)])
+
+    m = res.moments
+    st = res.final_state
+    return FusedChainResult(
+        final_state=SamplerState.init(
+            unpack(st.position),
+            extras=ULPDAExtras(
+                y=jnp.stack([unpack(st.extras.y[j])
+                             for j in range(st.extras.y.shape[0])]),
+                xbar=unpack(st.extras.xbar),
+            ),
+        ),
+        moments=RunningMoments(
+            count=m.count, mean=unpack(m.mean), m2=unpack(m.m2)
+        ),
     )

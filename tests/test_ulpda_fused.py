@@ -382,3 +382,55 @@ class TestWaveletDualDeconv:
             np.asarray(st.position),
             np.asarray(res.final_state.position), rtol=1e-5, atol=1e-6,
         )
+
+
+class TestLanePackedUlpda:
+    """run_ulpda_fused_packed: deterministic per-chain parity with solo
+    fused runs (cf. tests/test_myula_fused.py::TestLanePackedChains)."""
+
+    @pytest.mark.parametrize("which", ["tv", "metv"])
+    def test_parity(self, which):
+        from lmc_atomi_tpu.kernels.ulpda_fused import run_ulpda_fused_packed
+
+        img, blur, y, sigma, tau, mu = _problem(n=32)
+        proxf, proxg = _terms(which, blur, y, sigma)
+        rng = np.random.default_rng(4)
+        c = 4
+        x0 = jnp.asarray(rng.normal(size=(c, 32, 32)).astype(np.float32))
+        kw = dict(block=3, noise_scale=0.0, burn_in=1, interpret=True,
+                  niter_solve=4)
+        solo = [
+            run_ulpda_fused(
+                proxf, proxg, Gradient2D(), tau, mu, x0[i],
+                jax.random.PRNGKey(9), 6, **kw,
+            )
+            for i in range(c)
+        ]
+        packed = run_ulpda_fused_packed(
+            proxf, proxg, Gradient2D(), tau, mu, x0,
+            jax.random.PRNGKey(9), 6, **kw,
+        )
+        for i in range(c):
+            np.testing.assert_allclose(
+                np.asarray(packed.final_state.position[i]),
+                np.asarray(solo[i].final_state.position),
+                rtol=1e-5, atol=1e-6,
+            )
+            np.testing.assert_allclose(
+                np.asarray(packed.moments.mean[i]),
+                np.asarray(solo[i].moments.mean),
+                rtol=1e-5, atol=1e-6,
+            )
+
+    def test_wavelet_dual_rejected(self):
+        from lmc_atomi_tpu.kernels.ulpda_fused import run_ulpda_fused_packed
+        from lmc_atomi_tpu.ops.wavelet import HaarDWT2D
+
+        img, blur, y, sigma, tau, mu = _problem(n=32)
+        proxf = L2Data.create(op=blur, b=y, sigma=sigma)
+        with pytest.raises(ValueError, match="lane packing"):
+            run_ulpda_fused_packed(
+                proxf, L1Norm(sigma=0.3), HaarDWT2D(levels=2), tau, mu,
+                jnp.zeros((2, 32, 32)), jax.random.PRNGKey(0), 4,
+                noise_scale=0.0, interpret=True,
+            )
