@@ -246,6 +246,7 @@ def sec_wavelets(lines, wavelet_steps: int):
     ]
     mala_note = None
     ulpda_rows = []
+    fused_note = None
     for image in ("phantom", "einstein"):
         row, urow = [], []
         obs = None
@@ -253,6 +254,7 @@ def sec_wavelets(lines, wavelet_steps: int):
             _, s = wavelet_inpainting(
                 size=512, wavelet=wav, image=image, n_steps=wavelet_steps,
                 make_plots=False,
+                fused=(wav == "haar" and image == "phantom"),
             )
             row.append(s["report"]["MYULA"]["psnr"])
             urow.append(s["report"].get("ULPDA-wavelet", {}).get("psnr"))
@@ -262,6 +264,18 @@ def sec_wavelets(lines, wavelet_steps: int):
                     s["report"].get("MALA", {}).get("psnr"),
                     s.get("mala_acceptance"),
                 )
+                if "MYULA-fused" in s["report"]:
+                    ips = s["iters_per_sec"]
+                    fused_note = (
+                        s["report"]["MYULA-fused"]["psnr"],
+                        ips.get("MYULA-fused"),
+                        s["report"].get(
+                            "ULPDA-wavelet-fused", {}
+                        ).get("psnr"),
+                        ips.get("ULPDA-wavelet-fused"),
+                        ips.get("MYULA"),
+                        ips.get("ULPDA-wavelet"),
+                    )
             print(f"wavelets {image} {wav} done", file=sys.stderr)
         lines.append(
             f"| {image} | " + " | ".join(f"{p:.2f}" for p in row)
@@ -297,6 +311,21 @@ def sec_wavelets(lines, wavelet_steps: int):
             lines.append(
                 f"| {image} | " + " | ".join(f"{p:.2f}" for p in urow) + " |"
             )
+    if fused_note is not None:
+        m_psnr, m_ips, u_psnr, u_ips, m0_ips, u0_ips = fused_note
+        lines += [
+            "",
+            "Fused in-VMEM Haar kernels (interleaved lifting DWT,",
+            "`kernels/wavelet_fused.py`) on the phantom/Haar config:",
+            f"MYULA-fused {m_psnr:.2f} dB at {m_ips:.0f} iters/s"
+            + (f" (unfused {m0_ips:.0f})" if m0_ips else "") + ";",
+        ]
+        if u_psnr is not None:
+            lines += [
+                f"wavelet-dual ULPDA-fused {u_psnr:.2f} dB at"
+                f" {u_ips:.0f} iters/s"
+                + (f" (unfused {u0_ips:.0f})" if u0_ips else "") + ".",
+            ]
     lines += [""]
 
 
