@@ -55,6 +55,7 @@ def pnp_ula_deblur(
     score_baseline: bool = False,
     score_train_steps: int = 1500,
     score_arch: str = "cnn",  # 'cnn' | 'unet' (models/score.py::ScoreUNet)
+    pc_correctors: int = 0,  # >0: PC corrector sweeps (score_ula_pc)
     score_sigma_max: float = 0.4,
 ):
     import jax
@@ -320,10 +321,16 @@ def pnp_ula_deblur(
         def kern_score(sig_spec):
             # per-level stability: tau_i = 0.5/(L_data + alpha/sigma_i^2)
             tau_spec = 0.5 / (lips_f + alpha / sig_spec**2)
-            return score_ula(
-                l2.grad, score, sig_spec, tau_spec, alpha=alpha,
-                box=(-1.0, 2.0), box_weight=denoiser_sigma**2,
-            )
+            kw = dict(alpha=alpha, box=(-1.0, 2.0),
+                      box_weight=denoiser_sigma**2)
+            if pc_correctors > 0:
+                from lmc_atomi_tpu.kernels import score_ula_pc
+
+                return score_ula_pc(
+                    l2.grad, score, sig_spec, tau_spec,
+                    n_corrector=pc_correctors, **kw,
+                )
+            return score_ula(l2.grad, score, sig_spec, tau_spec, **kw)
 
         pooled_sc = farm(
             kern_score(sig0), kern_score(float(denoiser_sigma)),
