@@ -37,7 +37,7 @@ def wavelet_inpainting(
     outdir: str = "fig",
     make_plots: bool = True,
     platform: str = "",
-    fused: bool = False,  # adds a MYULA-fused row (haar only; TPU)
+    fused: bool = False,  # adds fused MYULA + wavelet-dual ULPDA rows
 ):
     import jax
 
@@ -120,12 +120,14 @@ def wavelet_inpainting(
             print(f"MALA acceptance: {extra['mala_acceptance']:.3f}",
                   file=sys.stderr)
 
-    if fused and wavelet == "haar":
+    if fused:
         # fully fused Pallas chains (kernels/wavelet_fused.py): in-VMEM
-        # interleaved Haar DWT -> exact soft-threshold prox (layout
-        # invariance) + masked-data gradient + on-core noise + Welford,
-        # plus the wavelet-DUAL ULPDA (closed-form mask prox, l-inf dual
-        # clip — no inner solve)
+        # interleaved DWT (Haar butterflies or D4/D8 periodic filter
+        # banks) -> exact soft-threshold prox (layout invariance) +
+        # masked-data gradient + on-core noise + Welford, plus the
+        # wavelet-DUAL ULPDA (closed-form mask prox, l-inf dual clip —
+        # no inner solve)
+        taps = {"haar": 2, "d4": 4, "db2": 4, "d8": 8, "db4": 8}[wavelet]
         from lmc_atomi_tpu.kernels import (
             run_myula_wavelet_fused,
             run_ulpda_wavelet_fused,
@@ -139,7 +141,7 @@ def wavelet_inpainting(
         res_f = jax.jit(
             lambda x, k: run_myula_wavelet_fused(
                 l2, tau_w, tau_step, gamma, x, k, n_steps,
-                levels=levels, burn_in=burn_in,
+                levels=levels, taps=taps, burn_in=burn_in,
                 noise_scale=1.0 if on_tpu else 0.0,
                 interpret=not on_tpu,
             )
@@ -152,7 +154,7 @@ def wavelet_inpainting(
         res_uf = jax.jit(
             lambda x, k: run_ulpda_wavelet_fused(
                 l2, tau_w, 0.95 / lips, 1.0, x, k, n_steps,
-                levels=levels, burn_in=burn_in,
+                levels=levels, taps=taps, burn_in=burn_in,
                 noise_scale=1.0 if on_tpu else 0.0,
                 interpret=not on_tpu,
             )

@@ -7,10 +7,12 @@ soft-threshold, the masked-data gradient, threefry noise and the moment
 update.  This kernel keeps the image in VMEM across a block of steps and
 fuses
 
-  * an ORTHOGONAL multi-level 2-D Haar DWT computed in interleaved
-    (in-place) layout — each lifting butterfly is a masked
-    ``pltpu.roll`` pair, and the Haar butterfly is an involution, so the
-    same masked pass implements forward and inverse;
+  * an ORTHOGONAL multi-level 2-D DWT computed in interleaved
+    (in-place) layout — Haar (masked ``pltpu.roll`` butterfly, an
+    involution serving forward AND inverse) or the longer periodic
+    Daubechies D4/D8 filter banks (``dwt_interleaved``: taps+1 masked
+    rolls per axis pass, wrap reads exact because lattice positions wrap
+    onto lattice positions);
   * the exact wavelet-l1 prox ``W^T soft(W x, thr)``.  Layout
     invariance: interleaved W equals ``P @ W_mallat`` for a permutation
     P, and soft-thresholding commutes with permutations, so the prox is
@@ -53,6 +55,8 @@ from lmc_atomi_tpu.kernels.myula_fused import (
 )
 
 __all__ = [
+    "dwt_interleaved",
+    "dwt_interleaved_inv",
     "haar_interleaved",
     "haar_interleaved_inv",
     "run_myula_wavelet_fused",
@@ -125,10 +129,108 @@ def haar_interleaved_inv(c, levels: int, roll=jnp.roll, iotas=None):
     return c
 
 
+def _db_filters(taps: int):
+    from lmc_atomi_tpu.ops.wavelet import daubechies_filter
+
+    h = daubechies_filter(taps)
+    g = tuple((-1.0) ** i * h[len(h) - 1 - i] for i in range(len(h)))
+    return h, g
+
+
+def _db_pass(x, h, g, s, axis, iy, ix, roll, inverse: bool):
+    """One periodic Daubechies analysis/synthesis step at stride ``s``
+    along ``axis`` in INTERLEAVED layout (level-l coefficients on the
+    stride-2^l lattice; cf. ``_haar_pass``, which this generalizes —
+    ``taps=2`` reproduces the Haar butterfly exactly).
+
+    Analysis (matches ``ops/wavelet.py::_dwt_step_axis`` values):
+      even slot (idx%2s==0): a = sum_i h[i] x[q + i s]
+      odd  slot (idx%2s==s): d = sum_i g[i] x[q + (i-1) s]
+    Synthesis (transpose):
+      even: sum_i h[2i] c[q - 2is] + g[2i] c[q + s - 2is]
+      odd:  sum_i h[2i+1] c[q - (2i+1)s] + g[2i+1] c[q - 2is]
+    Periodic wrap is exact: lattice positions wrap onto lattice positions
+    (n divisible by 2s), so circular rolls realize the mod-n filter bank.
+    """
+    n = x.shape[axis]
+    idx = iy if axis == 0 else ix
+    other = ix if axis == 0 else iy
+    lat = (other & (s - 1)) == 0 if s > 1 else None
+    r = idx & (2 * s - 1)
+    m0 = r == 0
+    m1 = r == s
+    reads = {}
+
+    def rd(k):
+        # reads x[q + k*s] along axis (roll by (-k*s) mod n)
+        if k not in reads:
+            sh = (-k * s) % n
+            reads[k] = x if sh == 0 else roll(x, sh, axis)
+        return reads[k]
+
+    T = len(h)
+    if inverse:
+        ev = sum(
+            h[2 * i] * rd(-2 * i) + g[2 * i] * rd(1 - 2 * i)
+            for i in range(T // 2)
+        )
+        od = sum(
+            h[2 * i + 1] * rd(-2 * i - 1) + g[2 * i + 1] * rd(-2 * i)
+            for i in range(T // 2)
+        )
+    else:
+        ev = sum(h[i] * rd(i) for i in range(T))
+        od = sum(g[i] * rd(i - 1) for i in range(T))
+    new = jnp.where(m0, ev, jnp.where(m1, od, x))
+    return new if lat is None else jnp.where(lat, new, x)
+
+
+def _db_level_ok(shape, s, taps):
+    # same guards as DaubechiesDWT2D.matvec: sub-lattice even and >= taps
+    return (
+        shape[0] % (2 * s) == 0 and shape[1] % (2 * s) == 0
+        and shape[0] // s >= taps and shape[1] // s >= taps
+    )
+
+
+def dwt_interleaved(x, taps: int, levels: int, roll=jnp.roll, iotas=None):
+    """Multi-level orthogonal 2-D Daubechies DWT in interleaved layout —
+    the general-tap version of ``haar_interleaved`` (``taps=2`` == Haar).
+    Coefficient VALUES equal ``DaubechiesDWT2D(taps, levels).matvec`` up to
+    the fixed interleaving permutation."""
+    if taps == 2:
+        return haar_interleaved(x, levels, roll, iotas)
+    h, g = _db_filters(taps)
+    iy, ix = _iotas(x.shape) if iotas is None else iotas
+    for lv in range(levels):
+        s = 1 << lv
+        if not _db_level_ok(x.shape, s, taps):
+            break
+        x = _db_pass(x, h, g, s, 0, iy, ix, roll, inverse=False)
+        x = _db_pass(x, h, g, s, 1, iy, ix, roll, inverse=False)
+    return x
+
+
+def dwt_interleaved_inv(c, taps: int, levels: int, roll=jnp.roll,
+                        iotas=None):
+    """Inverse (= transpose) of :func:`dwt_interleaved`."""
+    if taps == 2:
+        return haar_interleaved_inv(c, levels, roll, iotas)
+    h, g = _db_filters(taps)
+    iy, ix = _iotas(c.shape) if iotas is None else iotas
+    for lv in reversed(range(levels)):
+        s = 1 << lv
+        if not _db_level_ok(c.shape, s, taps):
+            continue
+        c = _db_pass(c, h, g, s, 1, iy, ix, roll, inverse=True)
+        c = _db_pass(c, h, g, s, 0, iy, ix, roll, inverse=True)
+    return c
+
+
 def _wavelet_kernel(
     x_ref, y_ref, m_ref, mean_ref, m2_ref, seed_ref, scal_ref, int_ref,
     xo_ref, meano_ref, m2o_ref,
-    *, levels, n_steps, with_noise, with_stats,
+    *, levels, taps, n_steps, with_noise, with_stats,
 ):
     from jax.experimental.pallas import tpu as pltpu
 
@@ -158,9 +260,9 @@ def _wavelet_kernel(
     def one_step(i, carry, xi):
         x, mean, m2 = carry
         grad = sig * mask * (mask * x - y)
-        c = haar_interleaved(x, levels, roll, iotas)
+        c = dwt_interleaved(x, taps, levels, roll, iotas)
         c = jnp.sign(c) * jnp.maximum(jnp.abs(c) - thr, 0.0)
-        p = haar_interleaved_inv(c, levels, roll, iotas)
+        p = dwt_interleaved_inv(c, taps, levels, roll, iotas)
         x_new = a * x - tau * grad + tg * p
         if with_noise:
             x_new = x_new + noise_amp * xi
@@ -203,12 +305,13 @@ def _wavelet_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "levels", "n_steps", "with_noise", "with_stats", "interpret",
+        "levels", "taps", "n_steps", "with_noise", "with_stats", "interpret",
     ),
 )
 def wavelet_block_update(
     x, y, mask, mean, m2, seed, scal_f, scal_i, *,
-    levels: int = 3, n_steps: int = 1, with_noise: bool = True,
+    levels: int = 3, taps: int = 2, n_steps: int = 1,
+    with_noise: bool = True,
     with_stats: bool = True, interpret: bool = False,
 ):
     """``n_steps`` fused wavelet-l1 MYULA steps.  ``scal_f = [tau, gamma,
@@ -222,7 +325,7 @@ def wavelet_block_update(
 
     kern = functools.partial(
         _wavelet_kernel,
-        levels=levels, n_steps=n_steps,
+        levels=levels, taps=taps, n_steps=n_steps,
         with_noise=with_noise, with_stats=with_stats,
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -253,7 +356,7 @@ def _ulpda_wavelet_kernel(
     x_ref, c_ref, xb_ref, y_ref, m_ref, mean_ref, m2_ref,
     seed_ref, scal_ref, int_ref,
     xo_ref, co_ref, xbo_ref, meano_ref, m2o_ref,
-    *, levels, n_steps, gfirst, with_noise, with_stats,
+    *, levels, taps, n_steps, gfirst, with_noise, with_stats,
 ):
     from jax.experimental.pallas import tpu as pltpu
 
@@ -285,10 +388,10 @@ def _ulpda_wavelet_kernel(
         return pltpu.roll(v, s, axis)
 
     def fwd(v):
-        return haar_interleaved(v, levels, roll, iotas)
+        return dwt_interleaved(v, taps, levels, roll, iotas)
 
     def inv(v):
-        return haar_interleaved_inv(v, levels, roll, iotas)
+        return dwt_interleaved_inv(v, taps, levels, roll, iotas)
 
     def one_step(i, carry, xi):
         x, c, xbar, mean, m2 = carry
@@ -346,13 +449,13 @@ def _ulpda_wavelet_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "levels", "n_steps", "gfirst", "with_noise", "with_stats",
+        "levels", "taps", "n_steps", "gfirst", "with_noise", "with_stats",
         "interpret",
     ),
 )
 def ulpda_wavelet_block_update(
     x, c, xbar, y, mask, mean, m2, seed, scal_f, scal_i, *,
-    levels: int = 3, n_steps: int = 1, gfirst: bool = False,
+    levels: int = 3, taps: int = 2, n_steps: int = 1, gfirst: bool = False,
     with_noise: bool = True, with_stats: bool = True,
     interpret: bool = False,
 ):
@@ -368,7 +471,7 @@ def ulpda_wavelet_block_update(
 
     kern = functools.partial(
         _ulpda_wavelet_kernel,
-        levels=levels, n_steps=n_steps, gfirst=gfirst,
+        levels=levels, taps=taps, n_steps=n_steps, gfirst=gfirst,
         with_noise=with_noise, with_stats=with_stats,
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -411,6 +514,7 @@ def run_ulpda_wavelet_fused(
     theta: float = 1.0,
     gfirst: bool = False,
     levels: int = 3,
+    taps: int = 2,
     block: Optional[int] = None,
     burn_in: int = 0,
     noise_scale: float = 1.0,
@@ -449,7 +553,8 @@ def run_ulpda_wavelet_fused(
         ).astype(jnp.int32)
         x, c, xbar, mean, m2 = ulpda_wavelet_block_update(
             x, c, xbar, y, mask, mean, m2, _key_seed(step_key(key, b)),
-            scal_f, scal_i, levels=levels, n_steps=block, gfirst=gfirst,
+            scal_f, scal_i, levels=levels, taps=taps, n_steps=block,
+            gfirst=gfirst,
             with_noise=noise_scale != 0.0, with_stats=True,
             interpret=interpret,
         )
@@ -479,6 +584,7 @@ def run_myula_wavelet_fused(
     n_steps: int,
     *,
     levels: int = 3,
+    taps: int = 2,
     epsg: float = 1.0,
     block: Optional[int] = None,
     burn_in: int = 0,
@@ -488,7 +594,7 @@ def run_myula_wavelet_fused(
     """Block-fused wavelet-l1 MYULA chain with in-kernel Welford posterior
     moments (cf. run_myula_tv_fused). ``l2.op`` must be a ``Mask``;
     the prior is ``lam * ||W x||_1`` with the level-``levels`` orthogonal
-    Haar DWT."""
+    DWT (``taps``: 2 = Haar, 4 = D4, 8 = D8)."""
     mask = l2.op.mask
     y = l2.b
     x0 = jnp.asarray(x0)
@@ -512,7 +618,7 @@ def run_myula_wavelet_fused(
         ).astype(jnp.int32)
         x, mean, m2 = wavelet_block_update(
             x, y, mask, mean, m2, _key_seed(step_key(key, b)),
-            scal_f, scal_i, levels=levels, n_steps=block,
+            scal_f, scal_i, levels=levels, taps=taps, n_steps=block,
             with_noise=noise_scale != 0.0, with_stats=True,
             interpret=interpret,
         )

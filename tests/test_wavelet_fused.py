@@ -252,3 +252,115 @@ class TestFusedWaveletUlpda:
         mean = res.moments.mean
         assert np.isfinite(np.asarray(mean)).all()
         assert float(psnr(img, mean)) > float(psnr(img, l2.b))
+
+
+class TestInterleavedDaubechies:
+    """dwt_interleaved: the general-tap (D4/D8) periodic filter bank in
+    interleaved layout — coefficient VALUES equal the Mallat transform's
+    (multiset identity), roundtrip exact, Haar special case consistent."""
+
+    @pytest.mark.parametrize("taps", [4, 8])
+    def test_multiset_equals_mallat_and_roundtrip(self, taps):
+        from lmc_atomi_tpu.kernels.wavelet_fused import (
+            dwt_interleaved,
+            dwt_interleaved_inv,
+        )
+        from lmc_atomi_tpu.ops.wavelet import DaubechiesDWT2D
+
+        x = jax.random.normal(jax.random.PRNGKey(2), (32, 32))
+        for levels in (1, 2, 3):
+            ci = dwt_interleaved(x, taps, levels)
+            cm = DaubechiesDWT2D(taps=taps, levels=levels).matvec(x)
+            np.testing.assert_allclose(
+                np.sort(np.asarray(ci).ravel()),
+                np.sort(np.asarray(cm).ravel()), atol=1e-5,
+            )
+            back = dwt_interleaved_inv(ci, taps, levels)
+            np.testing.assert_allclose(
+                np.asarray(back), np.asarray(x), atol=1e-5
+            )
+
+    def test_haar_taps2_dispatch(self):
+        from lmc_atomi_tpu.kernels.wavelet_fused import dwt_interleaved
+
+        x = jax.random.normal(jax.random.PRNGKey(3), (16, 16))
+        np.testing.assert_allclose(
+            np.asarray(dwt_interleaved(x, 2, 2)),
+            np.asarray(haar_interleaved(x, 2)), atol=1e-6,
+        )
+
+    @pytest.mark.parametrize("taps", [4, 8])
+    def test_prox_layout_invariance(self, taps):
+        from lmc_atomi_tpu.kernels.wavelet_fused import (
+            dwt_interleaved,
+            dwt_interleaved_inv,
+        )
+        from lmc_atomi_tpu.ops.wavelet import DaubechiesDWT2D
+
+        x = jax.random.normal(jax.random.PRNGKey(4), (32, 32))
+        wav = OrthogonalL1(op=DaubechiesDWT2D(taps=taps, levels=3),
+                           sigma=0.3)
+        want = wav.prox(x, 0.7)
+        thr = 0.7 * 0.3
+        c = dwt_interleaved(x, taps, 3)
+        got = dwt_interleaved_inv(
+            jnp.sign(c) * jnp.maximum(jnp.abs(c) - thr, 0.0), taps, 3
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=5e-6
+        )
+
+    @pytest.mark.parametrize("taps", [4, 8])
+    def test_fused_myula_parity_d4_d8(self, taps):
+        """Deterministic fused MYULA with the D4/D8 prior equals the
+        unfused myula_imaging recursion."""
+        from lmc_atomi_tpu.ops.wavelet import DaubechiesDWT2D
+
+        l2, _, _ = _problem(n=32, levels=2)
+        wav = OrthogonalL1(op=DaubechiesDWT2D(taps=taps, levels=2),
+                           sigma=0.25)
+        gamma = 0.1**2
+        tau = 0.2 * gamma
+        n = 5
+        x_ref = l2.b
+        for _ in range(n):
+            p = wav.prox(x_ref, gamma)
+            x_ref = (
+                (1 - tau / gamma) * x_ref - tau * l2.grad(x_ref)
+                + (tau / gamma) * p
+            )
+        res = run_myula_wavelet_fused(
+            l2, wav.sigma, tau, gamma, l2.b, jax.random.PRNGKey(0), n,
+            levels=2, taps=taps, block=n, noise_scale=0.0, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.final_state.position), np.asarray(x_ref),
+            rtol=2e-5, atol=2e-6,
+        )
+
+    def test_fused_ulpda_parity_d4(self):
+        """Deterministic fused wavelet-dual ULPDA with D4 equals the
+        unfused generic-operator ULPDA."""
+        from lmc_atomi_tpu.kernels.imaging import ulpda
+        from lmc_atomi_tpu.ops.wavelet import DaubechiesDWT2D
+        from lmc_atomi_tpu.run.runner import run_chain
+
+        l2, wav, _ = _problem(n=32, levels=2)
+        d4 = DaubechiesDWT2D(taps=4, levels=2)
+        tau, mu = 0.95 / l2.sigma, 1.0
+        n = 6
+        kern = ulpda(
+            l2, L1Norm(sigma=wav.sigma), d4, tau, mu, gfirst=False,
+            noise_scale=0.0,
+        )
+        res_u = run_chain(
+            kern, l2.b, jax.random.PRNGKey(0), n, collect="samples"
+        )
+        res_f = run_ulpda_wavelet_fused(
+            l2, wav.sigma, tau, mu, l2.b, jax.random.PRNGKey(0), n,
+            levels=2, taps=4, block=n, noise_scale=0.0, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_f.final_state.position),
+            np.asarray(res_u.samples[-1]), rtol=2e-5, atol=2e-6,
+        )
