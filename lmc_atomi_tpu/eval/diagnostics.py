@@ -16,7 +16,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["autocorrelation", "effective_sample_size", "split_rhat"]
+__all__ = [
+    "autocorrelation",
+    "effective_sample_size",
+    "rhat_from_moments",
+    "split_rhat",
+]
 
 
 def autocorrelation(x, max_lag=None):
@@ -72,4 +77,24 @@ def split_rhat(samples):
     w = var_per.mean(axis=0)
     b = half * mean_per.var(axis=0, ddof=1)
     var_hat = (half - 1) / half * w + b / half
+    return jnp.sqrt(var_hat / jnp.maximum(w, 1e-30))
+
+
+def rhat_from_moments(moments):
+    """Gelman-Rubin potential scale reduction from per-chain STREAMING
+    moments (``RunningMoments`` with a leading chain axis) — no sample
+    hoarding, so it works on the fused in-VMEM runners that keep only
+    Welford summaries.  Unsplit (between-chain vs within-chain): within
+    W = mean_c var_c, between B = n * var_c(mean_c);
+    ``rhat = sqrt(((n-1)/n W + B/n) / W)``.  Split-R-hat (``split_rhat``)
+    is sharper when full sample arrays are available."""
+    cnt = jnp.asarray(moments.count, jnp.float32)
+    n = jnp.maximum(cnt.min(), 2.0)
+    means = moments.mean  # (chains, ...)
+    denom = jnp.maximum(cnt - 1.0, 1.0).reshape(
+        (-1,) + (1,) * (means.ndim - 1)
+    )
+    w = (moments.m2 / denom.astype(means.dtype)).mean(axis=0)
+    b = n * means.var(axis=0, ddof=1)
+    var_hat = (n - 1.0) / n * w + b / n
     return jnp.sqrt(var_hat / jnp.maximum(w, 1e-30))
