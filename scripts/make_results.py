@@ -19,7 +19,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 DEFAULT_SECTIONS = (
-    "mixtures,laplace,prox,denoise,deconv,wavelets,pnp,ct,sgld,ci,throughput"
+    "mixtures,laplace,prox,denoise,deconv,wavelets,pnp,ct,sgld,ci,"
+    "multichain,throughput"
 )
 
 
@@ -597,6 +598,38 @@ def sec_ci(lines):
     lines += [""]
 
 
+def sec_multichain(lines):
+    """Lane-packed multi-chain farm vs solo chain (on-device)."""
+    from lmc_atomi_tpu.experiments.multichain import multichain_deblur
+
+    lines += [
+        "## Lane-packed multi-chain UQ (fused MYULA, one kernel instance)",
+        "",
+        "Sub-128-wide chains pack side-by-side along the lane axis",
+        "(`run_myula_tv_fused_packed`; grid-over-chains serializes on the",
+        "single TensorCore, see Throughput). Pooled posterior stats and the",
+        "streaming Gelman-Rubin R-hat come from per-chain Welford moments",
+        "(`eval/diagnostics.py::rhat_from_moments`) — no sample hoarding:",
+        "",
+        "| config | pack | aggregate iters/s | pooled PSNR | max R-hat |",
+        "|---|---|---|---|---|",
+    ]
+    for size, chains in ((64, 8), (32, 8)):
+        _, _, rep = multichain_deblur(
+            size=size, n_chains=chains, n_steps=20000, burn_in=2000,
+            make_plots=False,
+        )
+        lines.append(
+            "| {}^2 x {} chains | {} | {:.0f} | {:.2f} | {:.3f} |".format(
+                size, chains, rep["pack"],
+                rep["aggregate_iters_per_sec"], rep["psnr_pooled_mean"],
+                rep["rhat_max"],
+            )
+        )
+        print(f"multichain {size} done", file=sys.stderr)
+    lines += [""]
+
+
 def sec_throughput(lines):
     lines += [
         "## Throughput (this device)",
@@ -689,6 +722,8 @@ def main(
         sec_sgld(lines, sgld_k)
     if "ci" in want:
         sec_ci(lines)
+    if "multichain" in want:
+        sec_multichain(lines)
     if "throughput" in want:
         sec_throughput(lines)
 
