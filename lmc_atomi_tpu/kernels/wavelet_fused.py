@@ -590,11 +590,16 @@ def run_myula_wavelet_fused(
     burn_in: int = 0,
     noise_scale: float = 1.0,
     interpret: bool = False,
+    step_offset: int = 0,
 ) -> FusedChainResult:
     """Block-fused wavelet-l1 MYULA chain with in-kernel Welford posterior
     moments (cf. run_myula_tv_fused). ``l2.op`` must be a ``Mask``;
     the prior is ``lam * ||W x||_1`` with the level-``levels`` orthogonal
-    DWT (``taps``: 2 = Haar, 4 = D4, 8 = D8)."""
+    DWT (``taps``: 2 = Haar, 4 = D4, 8 = D8).  ``step_offset`` is this
+    run's global starting step, so burn-in masking continues across
+    segmented/resumable executions (cf. run_resumable_fused; the Welford
+    count restarts per run and partial results merge via
+    ``RunningMoments.merge``)."""
     mask = l2.op.mask
     y = l2.b
     x0 = jnp.asarray(x0)
@@ -608,11 +613,12 @@ def run_myula_wavelet_fused(
         [tau, gamma, l2.sigma, epsg * gamma * lam, noise_scale], x0.dtype
     )
     zeros = jnp.zeros_like(x0)
+    step_offset = jnp.asarray(step_offset, jnp.int32)
 
     def body(carry, b):
         x, mean, m2 = carry
-        step0 = b * block
-        cnt0 = jnp.maximum(step0 - burn_in, 0)
+        step0 = step_offset + b * block
+        cnt0 = jnp.maximum(step0 - jnp.maximum(burn_in, step_offset), 0)
         scal_i = jnp.stack(
             [step0, jnp.asarray(burn_in, jnp.int32), cnt0]
         ).astype(jnp.int32)
@@ -627,7 +633,10 @@ def run_myula_wavelet_fused(
     (x, mean, m2), _ = jax.lax.scan(
         body, (x0, zeros, zeros), jnp.arange(n_blocks, dtype=jnp.int32)
     )
-    count = jnp.asarray(max(n_steps - burn_in, 0), jnp.int32)
+    count = (
+        jnp.maximum(step_offset + n_steps - burn_in, 0)
+        - jnp.maximum(step_offset - burn_in, 0)
+    ).astype(jnp.int32)
     return FusedChainResult(
         final_state=SamplerState.init(x),
         moments=RunningMoments(count=count, mean=mean, m2=m2),

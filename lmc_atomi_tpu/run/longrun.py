@@ -123,6 +123,7 @@ def run_resumable_fused(
     ckpt_path: Optional[str] = None,
     burn_in: int = 0,
     progress: Optional[Callable[[int, dict], None]] = None,
+    runner: str = "tv",
     **fused_kwargs,
 ):
     """Checkpointed long MYULA runs on the block-fused TPU path.
@@ -139,14 +140,24 @@ def run_resumable_fused(
     reuses a fold index (distinct start steps -> distinct noise streams).
     Per-segment moments merge into the bundle via the exact Chan et al.
     parallel-Welford combine.
+
+    ``runner`` selects the fused chain: ``"tv"`` (default,
+    ``run_myula_tv_fused`` — ``tv_sigma`` is the TV weight; supports
+    ``quantiles``) or ``"wavelet"`` (``run_myula_wavelet_fused`` on an
+    ``L2Data(Mask)`` inpainting posterior — ``tv_sigma`` is the
+    wavelet-l1 weight ``lam``; ``levels``/``taps`` pass through
+    ``fused_kwargs``; no quantile stream on that kernel yet).
     """
     import functools as _ft
 
     from lmc_atomi_tpu.kernels.myula_fused import run_myula_tv_fused
+    from lmc_atomi_tpu.kernels.wavelet_fused import run_myula_wavelet_fused
 
     key = as_key(key)
     x0 = jnp.asarray(x0)
     quantiles = tuple(float(p) for p in fused_kwargs.pop("quantiles", ()))
+    if runner == "wavelet" and quantiles:
+        raise ValueError("the fused wavelet kernel has no quantile stream")
     bundle = {
         "position": x0,
         "moments": RunningMoments.init(x0),
@@ -171,6 +182,11 @@ def run_resumable_fused(
     # (`off` = done) is traced, so only distinct tail lengths recompile.
     @_ft.partial(jax.jit, static_argnames="n")
     def run_seg(x, k, n, off, qstate):
+        if runner == "wavelet":
+            return run_myula_wavelet_fused(
+                l2, tv_sigma, tau, gamma, x, k, n, burn_in=burn_in,
+                step_offset=off, **fused_kwargs,
+            )
         return run_myula_tv_fused(
             l2, tv_sigma, tau, gamma, x, k, n, burn_in=burn_in,
             quantiles=quantiles, quantile_state=qstate, step_offset=off,
