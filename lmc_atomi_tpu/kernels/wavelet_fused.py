@@ -228,11 +228,15 @@ def dwt_interleaved_inv(c, taps: int, levels: int, roll=jnp.roll,
 
 
 def _wavelet_kernel(
-    x_ref, y_ref, m_ref, mean_ref, m2_ref, seed_ref, scal_ref, int_ref,
-    xo_ref, meano_ref, m2o_ref,
-    *, levels, taps, n_steps, with_noise, with_stats,
+    x_ref, y_ref, m_ref, mean_ref, m2_ref, qh_ref, qn_ref, seed_ref,
+    scal_ref, int_ref,
+    xo_ref, meano_ref, m2o_ref, qho_ref, qno_ref,
+    *, levels, taps, n_steps, with_noise, with_stats, quantiles,
+    quantile_thin,
 ):
     from jax.experimental.pallas import tpu as pltpu
+
+    from lmc_atomi_tpu.kernels.myula_fused import _p2_update
 
     x = x_ref[:]
     y = y_ref[:]
@@ -253,12 +257,13 @@ def _wavelet_kernel(
     noise_amp = noise_scale * jnp.sqrt(2.0 * tau)
     a = 1.0 - tau / gamma
     tg = tau / gamma
+    n_q = len(quantiles)
 
     def roll(v, s, axis):
         return pltpu.roll(v, s, axis)
 
-    def one_step(i, carry, xi):
-        x, mean, m2 = carry
+    def one_step(i, carry, xi, do_q=True):
+        x, mean, m2, qstate = carry
         grad = sig * mask * (mask * x - y)
         c = dwt_interleaved(x, taps, levels, roll, iotas)
         c = jnp.sign(c) * jnp.maximum(jnp.abs(c) - thr, 0.0)
@@ -266,16 +271,25 @@ def _wavelet_kernel(
         x_new = a * x - tau * grad + tg * p
         if with_noise:
             x_new = x_new + noise_amp * xi
+        g = step0 + i
+        w = (g >= burn).astype(jnp.int32)
         if with_stats:
-            g = step0 + i
-            w = (g >= burn).astype(jnp.int32)
             n_new = cnt0 + jnp.maximum(g + 1 - jnp.maximum(burn, step0), 0)
             wf = w.astype(dtype)
             denom = jnp.maximum(n_new, 1).astype(dtype)
             delta = x_new - mean
             mean = mean + wf * delta / denom
             m2 = m2 + wf * delta * (x_new - mean)
-        return x_new, mean, m2
+        if n_q and do_q:
+            # global P^2 observation count (cf. myula_fused._block_kernel)
+            c_prev = jnp.maximum(
+                g // quantile_thin - burn // quantile_thin, 0
+            )
+            qstate = tuple(
+                _p2_update(x_new, qs, ns, c_prev, w, pq)
+                for (qs, ns), pq in zip(qstate, quantiles)
+            )
+        return x_new, mean, m2, qstate
 
     def step_body(i, carry):
         xi = _box_muller2(x.shape, dtype, pltpu)[0] if with_noise else None
@@ -286,70 +300,143 @@ def _wavelet_kernel(
         carry = one_step(2 * j, carry, xi1)
         return one_step(2 * j + 1, carry, xi2)
 
+    # thinned quantiles: static record positions via group unrolling
+    # (cf. myula_fused._block_kernel)
+    q_group = 0
+    if n_q and quantile_thin > 1:
+        q_group = (
+            quantile_thin * 2 if (with_noise and quantile_thin % 2)
+            else quantile_thin
+        )
+
+        def group_body(jj, carry):
+            base = q_group * jj
+            u = 0
+            while u < q_group:
+                if with_noise:
+                    xi1, xi2 = _box_muller2(x.shape, dtype, pltpu)
+                    carry = one_step(
+                        base + u, carry, xi1,
+                        do_q=(u + 1) % quantile_thin == 0,
+                    )
+                    carry = one_step(
+                        base + u + 1, carry, xi2,
+                        do_q=(u + 2) % quantile_thin == 0,
+                    )
+                    u += 2
+                else:
+                    carry = one_step(
+                        base + u, carry, None,
+                        do_q=(u + 1) % quantile_thin == 0,
+                    )
+                    u += 1
+            return carry
+
     if with_stats:
         mean0, m20 = mean_ref[:], m2_ref[:]
     else:
         mean0 = m20 = jnp.zeros((1, 1), dtype)
-    carry0 = (x, mean0, m20)
-    if with_noise and n_steps % 2 == 0:
+    if n_q:
+        qh0 = qh_ref[:]
+        qn0 = qn_ref[:]
+        qstate0 = tuple(
+            (
+                tuple(qh0[5 * j + i] for i in range(5)),
+                tuple(qn0[3 * j + i] for i in range(3)),
+            )
+            for j in range(n_q)
+        )
+    else:
+        qstate0 = ()
+    carry0 = (x, mean0, m20, qstate0)
+    if q_group:
+        if n_steps % q_group:
+            raise ValueError(
+                f"n_steps={n_steps} not aligned to quantile group "
+                f"{q_group} (thin={quantile_thin})"
+            )
+        out = jax.lax.fori_loop(0, n_steps // q_group, group_body, carry0)
+    elif with_noise and n_steps % 2 == 0:
         out = jax.lax.fori_loop(0, n_steps // 2, pair_body, carry0)
     else:
         out = jax.lax.fori_loop(0, n_steps, step_body, carry0)
-    x, mean, m2 = out
+    x, mean, m2, qstate = out
     xo_ref[:] = x
     if with_stats:
         meano_ref[:] = mean
         m2o_ref[:] = m2
+    if n_q:
+        qho_ref[:] = jnp.stack([q for qs, _ in qstate for q in qs])
+        qno_ref[:] = jnp.stack([n for _, ns in qstate for n in ns])
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "levels", "taps", "n_steps", "with_noise", "with_stats", "interpret",
+        "quantiles", "quantile_thin",
     ),
 )
 def wavelet_block_update(
-    x, y, mask, mean, m2, seed, scal_f, scal_i, *,
+    x, y, mask, mean, m2, seed, scal_f, scal_i, qh=None, qn=None, *,
     levels: int = 3, taps: int = 2, n_steps: int = 1,
     with_noise: bool = True,
     with_stats: bool = True, interpret: bool = False,
+    quantiles: tuple = (), quantile_thin: int = 1,
 ):
     """``n_steps`` fused wavelet-l1 MYULA steps.  ``scal_f = [tau, gamma,
     sig, thr, noise_scale]``; ``scal_i = [step0, burn_in, count0]``.
-    Returns ``(x', mean', m2')``."""
+    ``quantiles`` adds the in-kernel P^2 marker stream (``qh``/``qn`` of
+    shape ``(5*n_q, ...)`` / ``(3*n_q, ...)``, cf.
+    myula_fused.myula_tv_block_update).  Returns
+    ``(x', mean', m2', qh', qn')``."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     seed_tile = jnp.zeros((1, 128), jnp.int32)
     seed_tile = seed_tile.at[0, :2].set(jnp.asarray(seed, jnp.int32))
 
+    n_q = len(quantiles)
+    if qh is None:
+        qh = jnp.zeros((1, 1), x.dtype)
+    if qn is None:
+        qn = jnp.zeros((1, 1), x.dtype)
+
     kern = functools.partial(
         _wavelet_kernel,
         levels=levels, taps=taps, n_steps=n_steps,
         with_noise=with_noise, with_stats=with_stats,
+        quantiles=quantiles, quantile_thin=quantile_thin,
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     stat_shape = x.shape if with_stats else (1, 1)
+    qh_shape = (5 * n_q,) + x.shape if n_q else (1, 1)
+    qn_shape = (3 * n_q,) + x.shape if n_q else (1, 1)
     aliases = {0: 0}
     if with_stats and mean.shape == x.shape:
         aliases[3] = 1
         aliases[4] = 2
+    if n_q and qh.shape == qh_shape:
+        aliases[5] = 3
+        aliases[6] = 4
     return pl.pallas_call(
         kern,
         out_shape=(
             jax.ShapeDtypeStruct(x.shape, x.dtype),
             jax.ShapeDtypeStruct(stat_shape, x.dtype),
             jax.ShapeDtypeStruct(stat_shape, x.dtype),
+            jax.ShapeDtypeStruct(qh_shape, x.dtype),
+            jax.ShapeDtypeStruct(qn_shape, x.dtype),
         ),
-        in_specs=[vmem] * 5 + [vmem, smem, smem],
-        out_specs=(vmem,) * 3,
+        in_specs=[vmem] * 7 + [vmem, smem, smem],
+        out_specs=(vmem,) * 5,
         input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT_BYTES
         ),
         interpret=interpret,
-    )(x, y, mask, mean, m2, seed_tile, scal_f, scal_i)
+    )(x, y, mask, mean, m2, qh, qn, seed_tile, scal_f, scal_i)
 
 
 def _ulpda_wavelet_kernel(
@@ -591,6 +678,9 @@ def run_myula_wavelet_fused(
     noise_scale: float = 1.0,
     interpret: bool = False,
     step_offset: int = 0,
+    quantiles: tuple = (),
+    quantile_thin: int = 1,
+    quantile_state=None,
 ) -> FusedChainResult:
     """Block-fused wavelet-l1 MYULA chain with in-kernel Welford posterior
     moments (cf. run_myula_tv_fused). ``l2.op`` must be a ``Mask``;
@@ -607,6 +697,28 @@ def run_myula_wavelet_fused(
         block = min(n_steps, 500)
     while n_steps % block:
         block -= 1
+    quantiles = tuple(float(p) for p in quantiles)
+    n_q = len(quantiles)
+    if n_q and quantile_thin > 1:
+        group = (
+            quantile_thin * 2
+            if (noise_scale != 0.0 and quantile_thin % 2)
+            else quantile_thin
+        )
+        if n_steps % group:
+            raise ValueError(
+                f"n_steps={n_steps} must be a multiple of the quantile "
+                f"group {group} (quantile_thin={quantile_thin})"
+            )
+        b = max(block - block % group, group)
+        while n_steps % b:
+            b -= group
+        block = b
+        if isinstance(step_offset, int) and step_offset % quantile_thin:
+            raise ValueError(
+                f"step_offset={step_offset} must align to "
+                f"quantile_thin={quantile_thin}"
+            )
     n_blocks = n_steps // block
     key = as_key(key)
     scal_f = jnp.asarray(
@@ -614,24 +726,38 @@ def run_myula_wavelet_fused(
     )
     zeros = jnp.zeros_like(x0)
     step_offset = jnp.asarray(step_offset, jnp.int32)
+    if n_q:
+        if quantile_state is not None:
+            qh0, qn0 = quantile_state
+        else:
+            qh0 = jnp.zeros((5 * n_q,) + x0.shape, x0.dtype)
+            qn0 = jnp.tile(
+                jnp.arange(2.0, 5.0, dtype=x0.dtype)[:, None, None],
+                (n_q, x0.shape[0], x0.shape[1]),
+            )
+    else:
+        qh0 = qn0 = jnp.zeros((1, 1), x0.dtype)
 
     def body(carry, b):
-        x, mean, m2 = carry
+        x, mean, m2, qh, qn = carry
         step0 = step_offset + b * block
         cnt0 = jnp.maximum(step0 - jnp.maximum(burn_in, step_offset), 0)
         scal_i = jnp.stack(
             [step0, jnp.asarray(burn_in, jnp.int32), cnt0]
         ).astype(jnp.int32)
-        x, mean, m2 = wavelet_block_update(
+        x, mean, m2, qh, qn = wavelet_block_update(
             x, y, mask, mean, m2, _key_seed(step_key(key, b)),
-            scal_f, scal_i, levels=levels, taps=taps, n_steps=block,
+            scal_f, scal_i, qh, qn, levels=levels, taps=taps,
+            n_steps=block,
             with_noise=noise_scale != 0.0, with_stats=True,
-            interpret=interpret,
+            interpret=interpret, quantiles=quantiles,
+            quantile_thin=quantile_thin,
         )
-        return (x, mean, m2), None
+        return (x, mean, m2, qh, qn), None
 
-    (x, mean, m2), _ = jax.lax.scan(
-        body, (x0, zeros, zeros), jnp.arange(n_blocks, dtype=jnp.int32)
+    (x, mean, m2, qh, qn), _ = jax.lax.scan(
+        body, (x0, zeros, zeros, qh0, qn0),
+        jnp.arange(n_blocks, dtype=jnp.int32),
     )
     count = (
         jnp.maximum(step_offset + n_steps - burn_in, 0)
@@ -640,5 +766,9 @@ def run_myula_wavelet_fused(
     return FusedChainResult(
         final_state=SamplerState.init(x),
         moments=RunningMoments(count=count, mean=mean, m2=m2),
-        quantiles=None,
+        quantiles=(
+            {p: qh[5 * j + 2] for j, p in enumerate(quantiles)}
+            if n_q else None
+        ),
+        quantile_state=(qh, qn) if n_q else None,
     )

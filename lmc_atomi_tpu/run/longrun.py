@@ -142,11 +142,11 @@ def run_resumable_fused(
     parallel-Welford combine.
 
     ``runner`` selects the fused chain: ``"tv"`` (default,
-    ``run_myula_tv_fused`` — ``tv_sigma`` is the TV weight; supports
-    ``quantiles``) or ``"wavelet"`` (``run_myula_wavelet_fused`` on an
-    ``L2Data(Mask)`` inpainting posterior — ``tv_sigma`` is the
-    wavelet-l1 weight ``lam``; ``levels``/``taps`` pass through
-    ``fused_kwargs``; no quantile stream on that kernel yet).
+    ``run_myula_tv_fused`` — ``tv_sigma`` is the TV weight) or
+    ``"wavelet"`` (``run_myula_wavelet_fused`` on an ``L2Data(Mask)``
+    inpainting posterior — ``tv_sigma`` is the wavelet-l1 weight ``lam``;
+    ``levels``/``taps`` pass through ``fused_kwargs``). Both carry the
+    in-kernel P^2 ``quantiles`` stream through checkpoints.
     """
     import functools as _ft
 
@@ -156,8 +156,6 @@ def run_resumable_fused(
     key = as_key(key)
     x0 = jnp.asarray(x0)
     quantiles = tuple(float(p) for p in fused_kwargs.pop("quantiles", ()))
-    if runner == "wavelet" and quantiles:
-        raise ValueError("the fused wavelet kernel has no quantile stream")
     bundle = {
         "position": x0,
         "moments": RunningMoments.init(x0),
@@ -185,6 +183,7 @@ def run_resumable_fused(
         if runner == "wavelet":
             return run_myula_wavelet_fused(
                 l2, tv_sigma, tau, gamma, x, k, n, burn_in=burn_in,
+                quantiles=quantiles, quantile_state=qstate,
                 step_offset=off, **fused_kwargs,
             )
         return run_myula_tv_fused(

@@ -274,3 +274,84 @@ class TestFusedQuantilesTPU:
         # and pixelwise agreement within MC error of the width itself
         med = np.median(np.abs(w_f - w_u))
         assert med < 0.2 * w_u.mean(), (med, w_u.mean())
+
+
+class TestWaveletFusedQuantiles:
+    """In-kernel P^2 stream on the fused wavelet-l1 MYULA kernel
+    (kernels/wavelet_fused.py), same contract as the TV kernel's."""
+
+    PS = (0.25, 0.75)
+
+    def _problem(self, n=16, levels=2):
+        from lmc_atomi_tpu.ops.linops import Mask
+
+        key = jax.random.PRNGKey(0)
+        km, kn, ki = jax.random.split(key, 3)
+        img = jax.random.uniform(ki, (n, n), jnp.float32)
+        mask = (jax.random.uniform(km, (n, n)) > 0.5).astype(jnp.float32)
+        y = mask * img + 0.1 * mask * jax.random.normal(
+            kn, (n, n), jnp.float32
+        )
+        l2 = L2Data(op=Mask(mask=mask), b=y, sigma=1.0 / 0.1**2)
+        return l2, levels
+
+    def test_matches_running_quantile_on_same_trajectory(self):
+        from lmc_atomi_tpu.kernels.wavelet_fused import (
+            run_myula_wavelet_fused,
+        )
+
+        l2, levels = self._problem()
+        gamma = 0.1**2
+        tau = 0.2 * gamma
+        steps, burn = 12, 3
+        res = run_myula_wavelet_fused(
+            l2, 0.25, tau, gamma, l2.b, jax.random.PRNGKey(1), steps,
+            levels=levels, block=6, burn_in=burn, noise_scale=0.0,
+            quantiles=self.PS, interpret=not ON_TPU,
+        )
+        refs = {p: RunningQuantile.init(l2.b.shape, p, jnp.float32)
+                for p in self.PS}
+        x = l2.b
+        for i in range(steps):
+            one = run_myula_wavelet_fused(
+                l2, 0.25, tau, gamma, x, jax.random.PRNGKey(1), 1,
+                levels=levels, block=1, noise_scale=0.0,
+                interpret=not ON_TPU,
+            )
+            x = one.final_state.position
+            if i >= burn:
+                refs = {p: q.update(x) for p, q in refs.items()}
+        for p in self.PS:
+            np.testing.assert_allclose(
+                np.asarray(res.quantiles[p]), np.asarray(refs[p].value),
+                atol=2e-5,
+            )
+
+    def test_segmented_continuation_matches_straight(self):
+        from lmc_atomi_tpu.kernels.wavelet_fused import (
+            run_myula_wavelet_fused,
+        )
+
+        l2, levels = self._problem()
+        gamma = 0.1**2
+        tau = 0.2 * gamma
+        kw = dict(levels=levels, noise_scale=0.0, quantiles=self.PS,
+                  interpret=not ON_TPU)
+        straight = run_myula_wavelet_fused(
+            l2, 0.25, tau, gamma, l2.b, jax.random.PRNGKey(1), 12,
+            block=6, burn_in=2, **kw
+        )
+        a = run_myula_wavelet_fused(
+            l2, 0.25, tau, gamma, l2.b, jax.random.PRNGKey(1), 7,
+            block=7, burn_in=2, **kw
+        )
+        b = run_myula_wavelet_fused(
+            l2, 0.25, tau, gamma, a.final_state.position,
+            jax.random.PRNGKey(1), 5, block=5, burn_in=2,
+            step_offset=7, quantile_state=a.quantile_state, **kw
+        )
+        for p in self.PS:
+            np.testing.assert_allclose(
+                np.asarray(b.quantiles[p]),
+                np.asarray(straight.quantiles[p]), atol=2e-5,
+            )

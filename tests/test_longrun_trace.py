@@ -230,11 +230,16 @@ def test_resumable_fused_wavelet_runner(tmp_path):
         np.asarray(resumed["moments"].mean),
         np.asarray(direct.moments.mean), rtol=1e-5, atol=1e-7,
     )
-    # quantiles are unsupported on this kernel: explicit error
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError, match="quantile"):
-        run_resumable_fused(
-            l2, 0.25, tau, gamma, y, key, total_steps=8, segment_steps=8,
-            runner="wavelet", quantiles=(0.5,), **kw
-        )
+    # the in-kernel P^2 stream also rides through wavelet checkpoints
+    wq = run_resumable_fused(
+        l2, 0.25, tau, gamma, y, key, total_steps=16, segment_steps=8,
+        burn_in=4, runner="wavelet", quantiles=(0.5,), **kw
+    )
+    assert np.isfinite(np.asarray(wq["quantiles"][0.5])).all()
+    direct_q = run_myula_wavelet_fused(
+        l2, 0.25, tau, gamma, y, key, 16, burn_in=4, quantiles=(0.5,), **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(wq["quantiles"][0.5]),
+        np.asarray(direct_q.quantiles[0.5]), atol=2e-5,
+    )
