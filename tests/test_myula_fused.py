@@ -426,3 +426,30 @@ class TestLanePackedChains:
                 np.asarray(got[:, i * n:(i + 1) * n]), np.asarray(want),
                 rtol=2e-4, atol=2e-5,
             )
+
+    def test_non_power_of_two_chain_width(self):
+        """Packing is mask-based (true modulo, not bit tricks): 3 chains of
+        width 24 (72 lanes) still match solo runs."""
+        from lmc_atomi_tpu.kernels.myula_fused import (
+            run_myula_tv_fused_packed,
+        )
+
+        img, blur, y, l2, tau, gamma = _problem(n=24)
+        rng = np.random.default_rng(6)
+        x0 = jnp.asarray(rng.normal(size=(3, 24, 24)).astype(np.float32))
+        kw = dict(niter_tv=4, block=5, noise_scale=0.0, interpret=True)
+        solo = [
+            run_myula_tv_fused(
+                l2, 0.3, tau, gamma, x0[i], jax.random.PRNGKey(7), 5, **kw
+            )
+            for i in range(3)
+        ]
+        packed = run_myula_tv_fused_packed(
+            l2, 0.3, tau, gamma, x0, jax.random.PRNGKey(7), 5, **kw
+        )
+        for i in range(3):
+            np.testing.assert_allclose(
+                np.asarray(packed.final_state.position[i]),
+                np.asarray(solo[i].final_state.position),
+                rtol=1e-5, atol=1e-6,
+            )
