@@ -47,6 +47,8 @@ def prox_lmc_deconv(
     collect_metrics: bool = True,
     show: bool = False,
     platform: str = "",
+    wavelet_row: bool = False,  # 10th model: k5 + wavelet-l1 prior (wl1 dual)
+    wavelet_levels: int = 4,
 ):
     import jax
 
@@ -106,21 +108,33 @@ def prox_lmc_deconv(
     l1 = L1Norm(sigma=tau)
     tv = TVNorm(sigma=tau, niter=niter_tv)
 
-    # 9 models: (assumed kernel, data term, primal-dual regularizer)
+    # 9 models: (assumed kernel, data term, primal-dual regularizer,
+    # analysis operator for the dual)
     models = []
     for k in (5, 6, 7):
         l2, l2_mc, l2_me = data_terms(k)
-        models.append((f"k{k}-TV", l2, l1iso))
-        models.append((f"k{k}-MCTV", l2_mc, l1))
-        models.append((f"k{k}-METV", l2_me, l1iso))
+        models.append((f"k{k}-TV", l2, l1iso, grad_op))
+        models.append((f"k{k}-MCTV", l2_mc, l1, grad_op))
+        models.append((f"k{k}-METV", l2_me, l1iso, grad_op))
+    if wavelet_row:
+        # generic-operator primal-dual beyond gradient duals (reference
+        # algs.py:436-448): wavelet-l1 prior, dual in the orthogonal Haar
+        # coefficient domain — the fused wl1 kernel when supported.
+        from lmc_atomi_tpu.ops.wavelet import HaarDWT2D
+
+        l2_w, _, _ = data_terms(5)
+        models.append(
+            (f"k5-WL1", l2_w, l1, HaarDWT2D(levels=wavelet_levels))
+        )
 
     x0 = jnp.zeros((size, size), dtype)
 
-    def make_metrics(proxf, proxg, pd: bool):
+    def make_metrics(proxf, proxg, pd: bool, a_op=None):
         if not collect_metrics:
             return None
+        a_op = grad_op if a_op is None else a_op
         if pd:
-            cost = lambda x: proxf(x) + proxg(grad_op.matvec(x))
+            cost = lambda x: proxf(x) + proxg(a_op.matvec(x))
         else:
             cost = lambda x: proxf(x) + proxg(x)
         out = {
@@ -136,22 +150,22 @@ def prox_lmc_deconv(
             # MYULA; z^T x is 0 here, z=None as in the workload)
             out["f"] = lambda x: proxf(x)
             out["gA"] = (
-                (lambda x: proxg(grad_op.matvec(x))) if pd
+                (lambda x: proxg(a_op.matvec(x))) if pd
                 else (lambda x: proxg(x))
             )
         return out
 
     results, series, timings = {}, {}, {}
 
-    for idx, (name, proxf, proxg) in enumerate(models):
+    for idx, (name, proxf, proxg, a_op) in enumerate(models):
         mname = _model_name(idx)
         label = f"{mname} ({name})"
         t0 = time.perf_counter()
         if compute_map:
-            metrics = make_metrics(proxf, proxg, pd=True)
+            metrics = make_metrics(proxf, proxg, pd=True, a_op=a_op)
             out = jax.jit(
-                lambda pf, pg, x: adaptive_pdhg(
-                    pf, pg, grad_op, x, tau0, mu0, niter_map, metrics=metrics
+                lambda pf, pg, x, op=a_op: adaptive_pdhg(
+                    pf, pg, op, x, tau0, mu0, niter_map, metrics=metrics
                 )
             )(proxf, proxg, x0)
             jax.block_until_ready(out.x)
@@ -171,14 +185,14 @@ def prox_lmc_deconv(
                     ulpda_sep_fused,
                 )
 
-                if ulpda_fused_supported(proxf, proxg, grad_op, x0.shape,
+                if ulpda_fused_supported(proxf, proxg, a_op, x0.shape,
                                          x0.dtype):
-                    kern = ulpda_sep_fused(proxf, proxg, grad_op, tau=tau0,
+                    kern = ulpda_sep_fused(proxf, proxg, a_op, tau=tau0,
                                            mu=mu0, theta=1.0, gfirst=False)
                 else:
-                    kern = ulpda(proxf, proxg, grad_op, tau=tau0, mu=mu0,
+                    kern = ulpda(proxf, proxg, a_op, tau=tau0, mu=mu0,
                                  theta=1.0, gfirst=False)
-                metrics = make_metrics(proxf, proxg, pd=True)
+                metrics = make_metrics(proxf, proxg, pd=True, a_op=a_op)
             else:  # MYULA samples with the TV prox regularizer
                 # TPU production path: the fully fused Pallas step (same
                 # math and metrics plumbing; PSNR parity gated in
@@ -190,17 +204,27 @@ def prox_lmc_deconv(
                     sep_fused_supported,
                 )
 
-                if sep_fused_supported(
+                if not isinstance(a_op, Gradient2D):
+                    # wavelet row: exact orthogonal-DWT l1 prox, no Moreau
+                    # inner iterations (ops/functionals.py::OrthogonalL1)
+                    from lmc_atomi_tpu.ops.functionals import OrthogonalL1
+
+                    reg = OrthogonalL1(op=a_op, sigma=tau)
+                    kern = myula_imaging(proxf, reg, tau=tau_myula,
+                                         gamma=gamma_myula)
+                elif sep_fused_supported(
                     getattr(proxf, "op", None), x0.shape, x0.dtype
                 ):
+                    reg = tv
                     kern = myula_imaging_sep_fused(
                         proxf, tv.sigma, tau_myula, gamma_myula,
                         niter_tv=tv.niter,
                     )
                 else:
+                    reg = tv
                     kern = myula_imaging(proxf, tv, tau=tau_myula,
                                          gamma=gamma_myula)
-                metrics = make_metrics(proxf, tv, pd=False)
+                metrics = make_metrics(proxf, reg, pd=False)
             res = run_chain_jit(
                 kern, x0, jax.random.fold_in(key, idx), n_steps,
                 collect="stats", metrics=metrics,

@@ -179,3 +179,19 @@ def test_rhat_from_moments_matches_direct_formula():
     np.testing.assert_allclose(got, want, rtol=1e-5)
     # iid same-distribution chains: rhat near 1
     assert (got < 1.2).all()
+
+
+def test_deconv_wavelet_row(tmp_path):
+    """--wavelet_row adds the k5-WL1 model (Haar-domain dual ULPDA /
+    exact OrthogonalL1 prox MYULA) to the deconvolution grid."""
+    from lmc_atomi_tpu.experiments.deconv import prox_lmc_deconv
+
+    results, _, summary = prox_lmc_deconv(
+        size=32, n_steps=40, alg="ULPDA", wavelet_row=True,
+        wavelet_levels=3, make_plots=False, collect_metrics=False,
+        outdir=str(tmp_path),
+    )
+    labels = list(summary["report"])
+    assert any("WL1" in l for l in labels) and len(labels) == 10
+    wl1 = next(l for l in labels if "WL1" in l)
+    assert np.isfinite(summary["report"][wl1]["psnr"])
