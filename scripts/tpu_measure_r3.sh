@@ -30,6 +30,10 @@ python -m lmc_atomi_tpu.experiments.multichain --size 64 --n_chains 8 \
 python -m lmc_atomi_tpu.experiments.ct --size 128 --n_angles 30 \
   --make_plots false --score_prior true --pc_correctors 1
 
-# 7. Regenerate the RESULTS sections whose generators changed
+# 7. Deconvolution wavelet row (fused wl1 dual at 512^2)
+python -m lmc_atomi_tpu.experiments.deconv --size 512 --n_steps 1000 \
+  --alg ULPDA --wavelet_row true --make_plots false
+
+# 8. Regenerate the RESULTS sections whose generators changed
 python scripts/make_results.py --sections wavelets,ci,multichain,ct \
   --out /tmp/RESULTS_new_sections.md
