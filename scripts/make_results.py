@@ -198,7 +198,8 @@ def sec_deconv(lines):
         ]:
             _, _, summ = prox_lmc_deconv(
                 size=512, image=image, make_plots=False,
-                collect_metrics=False, **kw
+                collect_metrics=False,
+                wavelet_row=(image == "phantom"), **kw
             )
             cols[branch] = {k: v["psnr"] for k, v in summ["report"].items()}
             blurred = summ["psnr_blurred"]
