@@ -440,12 +440,15 @@ def wavelet_block_update(
 
 
 def _ulpda_wavelet_kernel(
-    x_ref, c_ref, xb_ref, y_ref, m_ref, mean_ref, m2_ref,
+    x_ref, c_ref, xb_ref, y_ref, m_ref, mean_ref, m2_ref, qh_ref, qn_ref,
     seed_ref, scal_ref, int_ref,
-    xo_ref, co_ref, xbo_ref, meano_ref, m2o_ref,
-    *, levels, taps, n_steps, gfirst, with_noise, with_stats,
+    xo_ref, co_ref, xbo_ref, meano_ref, m2o_ref, qho_ref, qno_ref,
+    *, levels, taps, n_steps, gfirst, with_noise, with_stats, quantiles,
+    quantile_thin,
 ):
     from jax.experimental.pallas import tpu as pltpu
+
+    from lmc_atomi_tpu.kernels.myula_fused import _p2_update
 
     x = x_ref[:]
     c = c_ref[:]
@@ -471,6 +474,8 @@ def _ulpda_wavelet_kernel(
     prox_den = 1.0 / (1.0 + ts * mask)
     atb = ts * mask * y
 
+    n_q = len(quantiles)
+
     def roll(v, s, axis):
         return pltpu.roll(v, s, axis)
 
@@ -480,8 +485,8 @@ def _ulpda_wavelet_kernel(
     def inv(v):
         return dwt_interleaved_inv(v, taps, levels, roll, iotas)
 
-    def one_step(i, carry, xi):
-        x, c, xbar, mean, m2 = carry
+    def one_step(i, carry, xi, do_q=True):
+        x, c, xbar, mean, m2, qstate = carry
         if gfirst:
             c = jnp.clip(c + mu * fwd(xbar), -g_sigma, g_sigma)
             x_new = (x - tau * inv(c) + atb) * prox_den
@@ -494,16 +499,24 @@ def _ulpda_wavelet_kernel(
                 x_new = x_new + noise_amp * xi
             xbar = x_new + theta * (x_new - x)
             c = jnp.clip(c + mu * fwd(xbar), -g_sigma, g_sigma)
+        g = step0 + i
+        w = (g >= burn).astype(jnp.int32)
         if with_stats:
-            g = step0 + i
-            w = (g >= burn).astype(jnp.int32)
             n_new = cnt0 + jnp.maximum(g + 1 - jnp.maximum(burn, step0), 0)
             wf = w.astype(dtype)
             denom = jnp.maximum(n_new, 1).astype(dtype)
             delta = x_new - mean
             mean = mean + wf * delta / denom
             m2 = m2 + wf * delta * (x_new - mean)
-        return x_new, c, xbar, mean, m2
+        if n_q and do_q:
+            c_prev = jnp.maximum(
+                g // quantile_thin - burn // quantile_thin, 0
+            )
+            qstate = tuple(
+                _p2_update(x_new, qs, ns, c_prev, w, pq)
+                for (qs, ns), pq in zip(qstate, quantiles)
+            )
+        return x_new, c, xbar, mean, m2, qstate
 
     def step_body(i, carry):
         xi = _box_muller2(x.shape, dtype, pltpu)[0] if with_noise else None
@@ -514,62 +527,127 @@ def _ulpda_wavelet_kernel(
         carry = one_step(2 * j, carry, xi1)
         return one_step(2 * j + 1, carry, xi2)
 
+    q_group = 0
+    if n_q and quantile_thin > 1:
+        q_group = (
+            quantile_thin * 2 if (with_noise and quantile_thin % 2)
+            else quantile_thin
+        )
+
+        def group_body(jj, carry):
+            base = q_group * jj
+            u = 0
+            while u < q_group:
+                if with_noise:
+                    xi1, xi2 = _box_muller2(x.shape, dtype, pltpu)
+                    carry = one_step(
+                        base + u, carry, xi1,
+                        do_q=(u + 1) % quantile_thin == 0,
+                    )
+                    carry = one_step(
+                        base + u + 1, carry, xi2,
+                        do_q=(u + 2) % quantile_thin == 0,
+                    )
+                    u += 2
+                else:
+                    carry = one_step(
+                        base + u, carry, None,
+                        do_q=(u + 1) % quantile_thin == 0,
+                    )
+                    u += 1
+            return carry
+
     if with_stats:
         mean0, m20 = mean_ref[:], m2_ref[:]
     else:
         mean0 = m20 = jnp.zeros((1, 1), dtype)
+    if n_q:
+        qh0 = qh_ref[:]
+        qn0 = qn_ref[:]
+        qstate0 = tuple(
+            (
+                tuple(qh0[5 * j + i] for i in range(5)),
+                tuple(qn0[3 * j + i] for i in range(3)),
+            )
+            for j in range(n_q)
+        )
+    else:
+        qstate0 = ()
     # gfirst=False never READS the incoming xbar; the dead initial value is x
-    carry0 = (x, c, xb_ref[:] if gfirst else x, mean0, m20)
-    if with_noise and n_steps % 2 == 0:
+    carry0 = (x, c, xb_ref[:] if gfirst else x, mean0, m20, qstate0)
+    if q_group:
+        if n_steps % q_group:
+            raise ValueError(
+                f"n_steps={n_steps} not aligned to quantile group "
+                f"{q_group} (thin={quantile_thin})"
+            )
+        out = jax.lax.fori_loop(0, n_steps // q_group, group_body, carry0)
+    elif with_noise and n_steps % 2 == 0:
         out = jax.lax.fori_loop(0, n_steps // 2, pair_body, carry0)
     else:
         out = jax.lax.fori_loop(0, n_steps, step_body, carry0)
-    x, c, xbar, mean, m2 = out
+    x, c, xbar, mean, m2, qstate = out
     xo_ref[:] = x
     co_ref[:] = c
     xbo_ref[:] = xbar
     if with_stats:
         meano_ref[:] = mean
         m2o_ref[:] = m2
+    if n_q:
+        qho_ref[:] = jnp.stack([q for qs, _ in qstate for q in qs])
+        qno_ref[:] = jnp.stack([n for _, ns in qstate for n in ns])
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "levels", "taps", "n_steps", "gfirst", "with_noise", "with_stats",
-        "interpret",
+        "interpret", "quantiles", "quantile_thin",
     ),
 )
 def ulpda_wavelet_block_update(
-    x, c, xbar, y, mask, mean, m2, seed, scal_f, scal_i, *,
+    x, c, xbar, y, mask, mean, m2, seed, scal_f, scal_i, qh=None, qn=None,
+    *,
     levels: int = 3, taps: int = 2, n_steps: int = 1, gfirst: bool = False,
     with_noise: bool = True, with_stats: bool = True,
-    interpret: bool = False,
+    interpret: bool = False, quantiles: tuple = (), quantile_thin: int = 1,
 ):
     """``n_steps`` fused wavelet-dual ULPDA steps.  ``scal_f = [tau, mu,
     theta, noise_scale, sigma, g_sigma]``; ``scal_i = [step0, burn_in,
     count0]``.  The dual ``c`` lives in the INTERLEAVED coefficient
-    layout.  Returns ``(x', c', xbar', mean', m2')``."""
+    layout.  ``quantiles`` adds the in-kernel P^2 marker stream.  Returns
+    ``(x', c', xbar', mean', m2', qh', qn')``."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     seed_tile = jnp.zeros((1, 128), jnp.int32)
     seed_tile = seed_tile.at[0, :2].set(jnp.asarray(seed, jnp.int32))
 
+    n_q = len(quantiles)
+    if qh is None:
+        qh = jnp.zeros((1, 1), x.dtype)
+    if qn is None:
+        qn = jnp.zeros((1, 1), x.dtype)
     kern = functools.partial(
         _ulpda_wavelet_kernel,
         levels=levels, taps=taps, n_steps=n_steps, gfirst=gfirst,
         with_noise=with_noise, with_stats=with_stats,
+        quantiles=quantiles, quantile_thin=quantile_thin,
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     stat_shape = x.shape if with_stats else (1, 1)
+    qh_shape = (5 * n_q,) + x.shape if n_q else (1, 1)
+    qn_shape = (3 * n_q,) + x.shape if n_q else (1, 1)
     aliases = {0: 0, 1: 1}
     if xbar.shape == x.shape:
         aliases[2] = 2
     if with_stats and mean.shape == x.shape:
         aliases[5] = 3
         aliases[6] = 4
+    if n_q and qh.shape == qh_shape:
+        aliases[7] = 5
+        aliases[8] = 6
     return pl.pallas_call(
         kern,
         out_shape=(
@@ -578,15 +656,17 @@ def ulpda_wavelet_block_update(
             jax.ShapeDtypeStruct(x.shape, x.dtype),
             jax.ShapeDtypeStruct(stat_shape, x.dtype),
             jax.ShapeDtypeStruct(stat_shape, x.dtype),
+            jax.ShapeDtypeStruct(qh_shape, x.dtype),
+            jax.ShapeDtypeStruct(qn_shape, x.dtype),
         ),
-        in_specs=[vmem] * 7 + [vmem, smem, smem],
-        out_specs=(vmem,) * 5,
+        in_specs=[vmem] * 9 + [vmem, smem, smem],
+        out_specs=(vmem,) * 7,
         input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT_BYTES
         ),
         interpret=interpret,
-    )(x, c, xbar, y, mask, mean, m2, seed_tile, scal_f, scal_i)
+    )(x, c, xbar, y, mask, mean, m2, qh, qn, seed_tile, scal_f, scal_i)
 
 
 def run_ulpda_wavelet_fused(
@@ -606,8 +686,12 @@ def run_ulpda_wavelet_fused(
     burn_in: int = 0,
     noise_scale: float = 1.0,
     interpret: bool = False,
+    quantiles: tuple = (),
+    quantile_thin: int = 1,
+    quantile_state=None,
 ) -> FusedChainResult:
-    """Block-fused wavelet-dual ULPDA chain (in-kernel Welford moments).
+    """Block-fused wavelet-dual ULPDA chain (in-kernel Welford moments;
+    optional in-kernel P^2 ``quantiles`` stream, cf. run_myula_tv_fused).
 
     The primal recursion is EXACTLY ``kernels/imaging.py::ulpda(L2Data(Mask),
     L1Norm, HaarDWT2D(levels))`` (reference generic-operator ULPDA,
@@ -624,31 +708,60 @@ def run_ulpda_wavelet_fused(
         block = min(n_steps, 250)
     while n_steps % block:
         block -= 1
+    quantiles = tuple(float(p) for p in quantiles)
+    n_q = len(quantiles)
+    if n_q and quantile_thin > 1:
+        group = (
+            quantile_thin * 2
+            if (noise_scale != 0.0 and quantile_thin % 2)
+            else quantile_thin
+        )
+        if n_steps % group:
+            raise ValueError(
+                f"n_steps={n_steps} must be a multiple of the quantile "
+                f"group {group} (quantile_thin={quantile_thin})"
+            )
+        b = max(block - block % group, group)
+        while n_steps % b:
+            b -= group
+        block = b
     n_blocks = n_steps // block
     key = as_key(key)
     scal_f = jnp.asarray(
         [tau, mu, theta, noise_scale, l2.sigma, g_sigma], x0.dtype
     )
     zeros = jnp.zeros_like(x0)
+    if n_q:
+        if quantile_state is not None:
+            qh0, qn0 = quantile_state
+        else:
+            qh0 = jnp.zeros((5 * n_q,) + x0.shape, x0.dtype)
+            qn0 = jnp.tile(
+                jnp.arange(2.0, 5.0, dtype=x0.dtype)[:, None, None],
+                (n_q, x0.shape[0], x0.shape[1]),
+            )
+    else:
+        qh0 = qn0 = jnp.zeros((1, 1), x0.dtype)
 
     def body(carry, b):
-        x, c, xbar, mean, m2 = carry
+        x, c, xbar, mean, m2, qh, qn = carry
         step0 = b * block
         cnt0 = jnp.maximum(step0 - burn_in, 0)
         scal_i = jnp.stack(
             [step0, jnp.asarray(burn_in, jnp.int32), cnt0]
         ).astype(jnp.int32)
-        x, c, xbar, mean, m2 = ulpda_wavelet_block_update(
+        x, c, xbar, mean, m2, qh, qn = ulpda_wavelet_block_update(
             x, c, xbar, y, mask, mean, m2, _key_seed(step_key(key, b)),
-            scal_f, scal_i, levels=levels, taps=taps, n_steps=block,
-            gfirst=gfirst,
+            scal_f, scal_i, qh, qn, levels=levels, taps=taps,
+            n_steps=block, gfirst=gfirst,
             with_noise=noise_scale != 0.0, with_stats=True,
-            interpret=interpret,
+            interpret=interpret, quantiles=quantiles,
+            quantile_thin=quantile_thin,
         )
-        return (x, c, xbar, mean, m2), None
+        return (x, c, xbar, mean, m2, qh, qn), None
 
-    (x, c, xbar, mean, m2), _ = jax.lax.scan(
-        body, (x0, zeros, x0, zeros, zeros),
+    (x, c, xbar, mean, m2, qh, qn), _ = jax.lax.scan(
+        body, (x0, zeros, x0, zeros, zeros, qh0, qn0),
         jnp.arange(n_blocks, dtype=jnp.int32),
     )
     count = jnp.asarray(max(n_steps - burn_in, 0), jnp.int32)
@@ -657,7 +770,11 @@ def run_ulpda_wavelet_fused(
     return FusedChainResult(
         final_state=SamplerState.init(x, extras=ULPDAExtras(y=c, xbar=xbar)),
         moments=RunningMoments(count=count, mean=mean, m2=m2),
-        quantiles=None,
+        quantiles=(
+            {p: qh[5 * j + 2] for j, p in enumerate(quantiles)}
+            if n_q else None
+        ),
+        quantile_state=(qh, qn) if n_q else None,
     )
 
 

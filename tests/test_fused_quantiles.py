@@ -355,3 +355,53 @@ class TestWaveletFusedQuantiles:
                 np.asarray(b.quantiles[p]),
                 np.asarray(straight.quantiles[p]), atol=2e-5,
             )
+
+    def test_ulpda_wavelet_quantiles_match_trajectory(self):
+        """Same P^2 contract on the fused wavelet-DUAL ULPDA kernel: the
+        in-kernel maps equal RunningQuantile driven by the UNFUSED ulpda
+        chain's positions (deterministic x-sequences agree by the
+        layout-invariance parity), and are block-size invariant."""
+        from lmc_atomi_tpu.kernels.imaging import ulpda
+        from lmc_atomi_tpu.kernels.wavelet_fused import (
+            run_ulpda_wavelet_fused,
+        )
+        from lmc_atomi_tpu.ops.functionals import L1Norm
+        from lmc_atomi_tpu.ops.wavelet import HaarDWT2D
+        from lmc_atomi_tpu.run.runner import run_chain
+
+        l2, levels = self._problem()
+        tau, mu = 0.95 / l2.sigma, 1.0
+        steps, burn = 10, 2
+        res = run_ulpda_wavelet_fused(
+            l2, 0.25, tau, mu, l2.b, jax.random.PRNGKey(1), steps,
+            levels=levels, block=5, burn_in=burn, noise_scale=0.0,
+            quantiles=self.PS, interpret=not ON_TPU,
+        )
+        kern = ulpda(
+            l2, L1Norm(sigma=0.25), HaarDWT2D(levels=levels), tau, mu,
+            gfirst=False, noise_scale=0.0,
+        )
+        traj = run_chain(
+            kern, l2.b, jax.random.PRNGKey(0), steps, collect="samples"
+        ).samples
+        refs = {p: RunningQuantile.init(l2.b.shape, p, jnp.float32)
+                for p in self.PS}
+        for i in range(steps):
+            if i >= burn:
+                refs = {p: q.update(traj[i]) for p, q in refs.items()}
+        for p in self.PS:
+            np.testing.assert_allclose(
+                np.asarray(res.quantiles[p]), np.asarray(refs[p].value),
+                atol=2e-4,
+            )
+        # block-size invariance
+        grow = run_ulpda_wavelet_fused(
+            l2, 0.25, tau, mu, l2.b, jax.random.PRNGKey(1), steps,
+            levels=levels, block=1, burn_in=burn, noise_scale=0.0,
+            quantiles=self.PS, interpret=not ON_TPU,
+        )
+        for p in self.PS:
+            np.testing.assert_allclose(
+                np.asarray(res.quantiles[p]), np.asarray(grow.quantiles[p]),
+                atol=2e-5,
+            )
