@@ -31,6 +31,7 @@ def multichain_deblur(
     n_steps: int = 5000,
     burn_in: int = 500,
     niter_tv: int = 10,
+    kernel: str = "myula",  # 'myula' | 'ulpda' (packed fused chains)
     seed: int = 0,
     outdir: str = "fig",
     make_plots: bool = True,
@@ -50,6 +51,9 @@ def multichain_deblur(
         run_myula_tv_fused_packed,
         sep_fused_supported,
     )
+    from lmc_atomi_tpu.kernels.ulpda_fused import run_ulpda_fused_packed
+    from lmc_atomi_tpu.ops.functionals import L21Norm
+    from lmc_atomi_tpu.ops.linops import Gradient2D
     from lmc_atomi_tpu.ops.functionals import L2Data
     from lmc_atomi_tpu.ops.linops import CirculantBlur2D, uniform_kernel
     from lmc_atomi_tpu.parallel.mesh import merge_chain_moments
@@ -82,16 +86,27 @@ def multichain_deblur(
     xs = jnp.zeros((groups, pack, size, size), dtype)
     keys = chain_keys(jax.random.fold_in(key, 1), groups)
 
-    run = jax.jit(
-        jax.vmap(
-            lambda x, k: run_myula_tv_fused_packed(
+    if kernel == "ulpda":
+        tau_u = 0.95 * sigma**2
+
+        def one(x, k):
+            return run_ulpda_fused_packed(
+                l2, L21Norm(sigma=tau_tv), Gradient2D(), tau_u, 1.0,
+                x, k, n_steps, burn_in=burn_in,
+                noise_scale=1.0 if on_tpu else 0.0,
+                interpret=not on_tpu,
+            ).moments
+    else:
+
+        def one(x, k):
+            return run_myula_tv_fused_packed(
                 l2, tau_tv, tau, gamma, x, k, n_steps,
                 niter_tv=niter_tv, burn_in=burn_in,
                 noise_scale=1.0 if on_tpu else 0.0,
                 interpret=not on_tpu,
             ).moments
-        )
-    )
+
+    run = jax.jit(jax.vmap(one))
     mom = run(xs, keys)  # leading axes (groups, pack)
     jax.block_until_ready(mom.mean)
     t0 = time.perf_counter()
@@ -110,6 +125,7 @@ def multichain_deblur(
 
     report = {
         "workload": "multichain_deblur",
+        "kernel": kernel,
         "size": size,
         "n_chains": n_chains,
         "pack": pack,
