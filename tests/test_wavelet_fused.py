@@ -145,10 +145,17 @@ class TestFusedWaveletMyula:
     @pytest.mark.skipif(not ON_TPU, reason="on-core PRNG needs a real TPU")
     def test_noise_chain_is_finite_and_contracts(self):
         """With noise: chain stays finite and the posterior mean improves
-        on the masked observation (PSNR up)."""
+        on the masked observation (PSNR up).
+
+        Needs the experiment-scale prior weight (inpainting.py tau_w=5.0):
+        at the _problem default lam=0.25 the masked pixels are nearly
+        unconstrained (data weight 100 vs prior 0.25) and the TRUE posterior
+        marginal std is ~0.5, so even the exact (unfused, jax.random) chain's
+        400-step mean sits below the observation PSNR — verified against
+        kernels/imaging.py::ulpda at identical settings."""
         from lmc_atomi_tpu.eval.metrics import psnr
 
-        l2, wav, img = _problem(n=32, levels=3)
+        l2, wav, img = _problem(n=32, levels=3, lam=5.0)
         gamma = 0.1**2
         tau = 0.2 * gamma
         res = run_myula_wavelet_fused(
@@ -240,10 +247,12 @@ class TestFusedWaveletUlpda:
     @pytest.mark.skipif(not ON_TPU, reason="on-core PRNG needs a real TPU")
     def test_noise_chain_is_finite_and_contracts(self):
         """With noise: chain stays finite and the posterior mean improves
-        on the masked observation (PSNR up)."""
+        on the masked observation (PSNR up). Experiment-scale prior weight
+        (lam=5.0) — see the MYULA twin's docstring for why the _problem
+        default is statistically unwinnable for ANY correct chain."""
         from lmc_atomi_tpu.eval.metrics import psnr
 
-        l2, wav, img = _problem(n=32, levels=3)
+        l2, wav, img = _problem(n=32, levels=3, lam=5.0)
         res = run_ulpda_wavelet_fused(
             l2, wav.sigma, 0.95 / l2.sigma, 1.0, l2.b,
             jax.random.PRNGKey(1), 400, block=100, burn_in=100,
