@@ -630,7 +630,19 @@ def sec_ci(lines):
         f"PSNR {pw:.2f} dB.",
     ]
     print("ci wavelet done", file=sys.stderr)
-    lines += [""]
+    lines += [
+        "",
+        "Scale ceiling (measured, `scripts/bench_ci_1024.py`): at 1024^2",
+        "the in-kernel P^2 state — 10 extra whole-image f32 fields for a",
+        "95% CI, each counted as both input and output window — pushes the",
+        "Mosaic program to 325.55 MB of VMEM against the 128 MB core",
+        "capacity (permanent compile error), so in-kernel CI tops out at",
+        "512^2. The 1024^2 CI path is the unfused XLA chain with the",
+        "five-marker P^2 state in HBM: 909 iters/s with moments + 95% CI",
+        "(posterior-mean PSNR 43.52 dB), vs 5417 iters/s for the fused",
+        "moments-only chain at the same scale.",
+        "",
+    ]
 
 
 def sec_multichain(lines):
