@@ -160,7 +160,7 @@ def sec_deconv(lines):
         "| model | MAP (aPDHG, 1000 it) | ULPDA mean (1000) | MYULA mean (1000) |",
         "|---|---|---|---|",
     ]
-    for image in ("phantom", "einstein", "terrain"):
+    for image in ("phantom", "einstein", "hopper", "terrain"):
         if image == "einstein":
             lines += [
                 "",
@@ -172,6 +172,19 @@ def sec_deconv(lines):
                 "flatter. This table repeats the full 9-model grid on the",
                 "bundled `assets/einstein.png` (decoded by the pure-NumPy",
                 "reader in `utils/png.py`), the honest benchmark:",
+                "",
+                "| model | MAP (aPDHG, 1000 it) | ULPDA mean (1000) | MYULA mean (1000) |",
+                "|---|---|---|---|",
+            ]
+        elif image == "hopper":
+            lines += [
+                "",
+                "### Natural image (hopper, 512x512 center crop)",
+                "",
+                "Second bundled photograph (`assets/hopper.png`, the",
+                "public-domain Grace Hopper portrait): a portrait with a",
+                "texture mix — smooth face, sharp flag stripes, dark",
+                "uniform — unlike einstein's blackboard scene:",
                 "",
                 "| model | MAP (aPDHG, 1000 it) | ULPDA mean (1000) | MYULA mean (1000) |",
                 "|---|---|---|---|",

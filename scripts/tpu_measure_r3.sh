@@ -34,6 +34,10 @@ python -m lmc_atomi_tpu.experiments.ct --size 128 --n_angles 30 \
 python -m lmc_atomi_tpu.experiments.deconv --size 512 --n_steps 1000 \
   --alg ULPDA --wavelet_row true --make_plots false
 
+# 7b. Second natural photograph (hopper) deconv rows (round-3c addition;
+#     regenerates the full deconv section including the new hopper table)
+python scripts/make_results.py --sections deconv --out /tmp/RESULTS_deconv.md
+
 # 8. Regenerate the RESULTS sections whose generators changed
 python scripts/make_results.py --sections wavelets,ci,multichain,ct \
   --out /tmp/RESULTS_new_sections.md
