@@ -40,6 +40,7 @@ def ct_tv_myula(
     score_prior: bool = False,
     score_train_steps: int = 1500,
     score_arch: str = "cnn",  # 'cnn' | 'unet' (models/score.py::ScoreUNet)
+    score_class: str = "phantom",  # 'phantom' | 'terrain' | 'photo'
     pc_correctors: int = 0,  # >0: Song-style PC corrector sweeps per step
     denoiser_sigma: float = 0.05,
     seed: int = 0,
@@ -198,16 +199,19 @@ def ct_tv_myula(
         s_params, s_apply, _ = train_score_net(
             jax.random.fold_in(key, 5), sigma_max=0.4,
             sigma_min=denoiser_sigma, n_sigmas=8,
-            steps=score_train_steps, arch=score_arch,
+            steps=score_train_steps, arch=score_arch, image_class=score_class,
         )
         score = make_score_fn(s_params, s_apply)
         ladder = geometric_sigmas(0.4, denoiser_sigma, 8, dtype)
-        anneal = jnp.repeat(ladder, max(burn_in // 8, 1))[:burn_in]
-        anneal = jnp.pad(anneal, (0, burn_in - anneal.shape[0]),
+        # clamp: a smoke run with n_steps <= burn_in must not build a
+        # negative-length constant tail (the anneal covers all steps then)
+        bi = min(burn_in, n_steps)
+        anneal = jnp.repeat(ladder, max(bi // 8, 1))[:bi]
+        anneal = jnp.pad(anneal, (0, bi - anneal.shape[0]),
                          constant_values=float(denoiser_sigma))
         sig_sched = jnp.concatenate([
             anneal,
-            jnp.full((n_steps - burn_in,), denoiser_sigma, dtype),
+            jnp.full((n_steps - bi,), denoiser_sigma, dtype),
         ])
         tau_sched = 0.5 / (lips + pnp_alpha / sig_sched**2)
         if pc_correctors > 0:

@@ -55,6 +55,7 @@ def pnp_ula_deblur(
     score_baseline: bool = False,
     score_train_steps: int = 1500,
     score_arch: str = "cnn",  # 'cnn' | 'unet' (models/score.py::ScoreUNet)
+    score_class: str = "phantom",  # 'phantom' | 'terrain' | 'photo'
     pc_correctors: int = 0,  # >0: PC corrector sweeps (score_ula_pc)
     score_sigma_max: float = 0.4,
 ):
@@ -305,7 +306,7 @@ def pnp_ula_deblur(
         s_params, s_apply, _ = train_score_net(
             jax.random.fold_in(kd, 11), sigma_max=score_sigma_max,
             sigma_min=denoiser_sigma, n_sigmas=8, steps=score_train_steps,
-            arch=score_arch,
+            arch=score_arch, image_class=score_class,
         )
         score = make_score_fn(s_params, s_apply)
         ladder = geometric_sigmas(score_sigma_max, denoiser_sigma, 8, dtype)

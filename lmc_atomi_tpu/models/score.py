@@ -167,7 +167,7 @@ def train_score_net(
     features: int = 48,
     arch: str = "cnn",  # 'cnn' (flat ScoreNet) | 'unet' (ScoreUNet)
     unet_features: Tuple[int, ...] = (32, 64, 96),
-    image_class: str = "phantom",  # 'phantom' | 'terrain' training class
+    image_class: str = "phantom",  # 'phantom' | 'terrain' | 'photo'
 ) -> Tuple[dict, Callable, jnp.ndarray]:
     """Denoising score matching on random images of ``image_class``;
     returns ``(params, apply_fn, sigmas)``.
@@ -197,6 +197,13 @@ def train_score_net(
         from lmc_atomi_tpu.utils.synthetic import random_terrain_batch
 
         gen_batch = random_terrain_batch
+    elif image_class == "photo":
+        # real-photograph patches (bundled einstein + hopper, dihedral
+        # augmentation) — the class the reference's denoiser priors are
+        # trained on
+        from lmc_atomi_tpu.utils.synthetic import random_photo_batch
+
+        gen_batch = random_photo_batch
     else:
         gen_batch = random_phantom_batch
 

@@ -14,6 +14,9 @@ __all__ = [
     "random_phantom_batch",
     "random_terrain",
     "random_terrain_batch",
+    "photo_bank",
+    "random_photo_patch",
+    "random_photo_batch",
 ]
 
 
@@ -81,5 +84,49 @@ def random_terrain(key, n: int, dtype=jnp.float32, beta: float = 1.6):
 
 def random_terrain_batch(key, batch: int, n: int, dtype=jnp.float32):
     return jax.vmap(lambda k: random_terrain(k, n, dtype=dtype))(
+        jax.random.split(key, batch)
+    )
+
+
+_PHOTO_BANK_CACHE: dict = {}
+
+
+def photo_bank(dtype=jnp.float32):
+    """Stacked bundled photographs (2, 512, 512) scaled to [0, 1].
+
+    The real-image training class: the reference's DnCNN-style priors are
+    trained on natural photographs; the two in-repo ones (einstein +
+    hopper, `utils/images.py`) form the bank. Loaded once per dtype and
+    cached (the PNG decode is host-side numpy)."""
+    key = jnp.dtype(dtype).name
+    if key not in _PHOTO_BANK_CACHE:
+        import numpy as np
+
+        from lmc_atomi_tpu.utils.images import einstein, hopper
+
+        bank = np.stack([einstein(512), hopper(512)]) / 255.0
+        _PHOTO_BANK_CACHE[key] = jnp.asarray(bank, dtype)
+    return _PHOTO_BANK_CACHE[key]
+
+
+def random_photo_patch(key, n: int, bank):
+    """One random n x n patch from ``bank`` (stack of images), augmented
+    by the dihedral flips (up-down, left-right, transpose) — the standard
+    denoiser-training augmentation. Pure jnp: source image index and crop
+    corner via dynamic_slice, so it vmaps/jits."""
+    k_im, k_y, k_x, k_f = jax.random.split(key, 4)
+    i = jax.random.randint(k_im, (), 0, bank.shape[0])
+    y0 = jax.random.randint(k_y, (), 0, bank.shape[1] - n + 1)
+    x0 = jax.random.randint(k_x, (), 0, bank.shape[2] - n + 1)
+    p = jax.lax.dynamic_slice(bank, (i, y0, x0), (1, n, n))[0]
+    fy, fx, tr = jax.random.bernoulli(k_f, 0.5, (3,))
+    p = jnp.where(fy, p[::-1], p)
+    p = jnp.where(fx, p[:, ::-1], p)
+    return jnp.where(tr, p.T, p)
+
+
+def random_photo_batch(key, batch: int, n: int, dtype=jnp.float32):
+    bank = photo_bank(dtype)
+    return jax.vmap(lambda k: random_photo_patch(k, n, bank))(
         jax.random.split(key, batch)
     )

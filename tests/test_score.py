@@ -286,3 +286,58 @@ def test_random_terrain_batch_statistics():
     # distinct draws and non-constant texture
     assert np.std(a[0]) > 0.01
     assert not np.allclose(a[0], a[1])
+
+
+def test_random_photo_batch_statistics():
+    """Real-photograph training patches (bundled einstein + hopper) with
+    dihedral augmentation: shape/range, determinism, distinct draws, and
+    every patch is an exact crop-transform of one of the two sources."""
+    from lmc_atomi_tpu.utils.synthetic import photo_bank, random_photo_batch
+
+    imgs = random_photo_batch(jax.random.PRNGKey(3), 6, 24)
+    a = np.asarray(imgs)
+    assert a.shape == (6, 24, 24)
+    assert (a >= 0.0).all() and (a <= 1.0).all()
+    assert np.std(a[0]) > 0.005
+    assert not np.allclose(a[0], a[1])
+    np.testing.assert_array_equal(
+        a, np.asarray(random_photo_batch(jax.random.PRNGKey(3), 6, 24))
+    )
+    # jits (the generator runs inside training steps)
+    jitted = jax.jit(
+        lambda k: random_photo_batch(k, 2, 24)
+    )(jax.random.PRNGKey(0))
+    assert np.isfinite(np.asarray(jitted)).all()
+    # brute-force provenance check for one patch: some crop of some source
+    # under some dihedral transform matches exactly
+    bank = np.asarray(photo_bank())
+    target = a[0]
+    found = False
+    for src in bank:
+        for t in (target, target[::-1], target[:, ::-1], target.T,
+                  target[::-1, ::-1], target[::-1].T, target[:, ::-1].T,
+                  target[::-1, ::-1].T):
+            n = t.shape[0]
+            # match via the top-left value then verify the full window
+            ys, xs = np.nonzero(np.isclose(src[:512 - n + 1, :512 - n + 1],
+                                           t[0, 0], atol=1e-7))
+            for y, x in zip(ys, xs):
+                if np.allclose(src[y:y + n, x:x + n], t, atol=1e-6):
+                    found = True
+                    break
+            if found:
+                break
+        if found:
+            break
+    assert found
+
+
+def test_photo_class_trains():
+    from lmc_atomi_tpu.models.score import train_score_net
+
+    params, apply_fn, _ = train_score_net(
+        jax.random.PRNGKey(2), steps=5, patch=16, batch=4,
+        image_class="photo", depth=3, features=8,
+    )
+    out = apply_fn(params, jnp.zeros((1, 16, 16)), jnp.ones((1,)))
+    assert np.isfinite(np.asarray(out)).all()
