@@ -204,8 +204,9 @@ def ct_tv_myula(
         score = make_score_fn(s_params, s_apply)
         ladder = geometric_sigmas(0.4, denoiser_sigma, 8, dtype)
         # clamp: a smoke run with n_steps <= burn_in must not build a
-        # negative-length constant tail (the anneal covers all steps then)
-        bi = min(burn_in, n_steps)
+        # negative-length constant tail, and at least one step must be
+        # recorded or the Welford mean below is a zero-weight artifact
+        bi = min(burn_in, max(n_steps - 1, 0))
         anneal = jnp.repeat(ladder, max(bi // 8, 1))[:bi]
         anneal = jnp.pad(anneal, (0, bi - anneal.shape[0]),
                          constant_values=float(denoiser_sigma))
@@ -230,7 +231,7 @@ def ct_tv_myula(
             )
         res_sc = run_chain_segmented(kern_sc, x_init,
                                      jax.random.fold_in(key, 6),
-                                     n_steps, burn_in=burn_in)
+                                     n_steps, burn_in=bi)
         jax.block_until_ready(res_sc.moments.mean)
         score_mean = np.asarray(res_sc.moments.mean)
         report["psnr_score_mean"] = float(

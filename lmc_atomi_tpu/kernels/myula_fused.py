@@ -321,12 +321,110 @@ def _box_muller2(shape, dtype, pltpu):
     return r * jnp.cos(ang), r * jnp.sin(ang)
 
 
+def _marker_band_rows(shape) -> int:
+    """Row-band height for the HBM-paged P^2 pass: the largest power of two
+    <= 128 dividing the image height (>= 2 bands so double buffering is
+    actually exercised)."""
+    ny = shape[0]
+    band = 128
+    while band > 1 and (ny % band or ny // band < 2):
+        band //= 2
+    return band
+
+
+def _p2_hbm_pass(
+    x_new, c_prev, w, qho_ref, qno_ref, qh_s, qn_s, sems,
+    quantiles, pltpu,
+):
+    """One P^2 observation with marker state resident in HBM.
+
+    The (5+3)·n_q marker fields do not fit VMEM past 512^2 (at 1024^2 a
+    95%-CI in-VMEM program measures 325 MB against the 128 MB core), so the
+    update streams them through VMEM in row bands with double-buffered
+    async copies: while band ``b`` is being updated on the VPU, band
+    ``b+1`` is in flight HBM->VMEM and band ``b-1`` VMEM->HBM. The band
+    loop is Python-unrolled (n_bands is static) so DMA slots are immediate.
+
+    ``x_new`` is the freshly produced sample (whole image, in VMEM);
+    ``qh_s``/``qn_s`` are (2, 5n_q|3n_q, band, nx) VMEM scratch; ``sems``
+    is a (2, 4) DMA semaphore array [slot, {in_h, in_n, out_h, out_n}].
+    All reads AND writes go through the OUTPUT refs (the launch prologue
+    copied the incoming marker state there): within one launch a later
+    recorded step must see the earlier step's updates, and an input ref
+    is not guaranteed to reflect writes to its aliased output.
+    """
+    from jax.experimental import pallas as pl
+
+    pl_ds = pl.ds
+    ny = x_new.shape[0]
+    band = qh_s.shape[2]
+    n_bands = ny // band
+
+    def dma_in(slot, b):
+        return (
+            pltpu.make_async_copy(
+                qho_ref.at[:, pl_ds(b * band, band)], qh_s.at[slot],
+                sems.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                qno_ref.at[:, pl_ds(b * band, band)], qn_s.at[slot],
+                sems.at[slot, 1],
+            ),
+        )
+
+    def dma_out(slot, b):
+        return (
+            pltpu.make_async_copy(
+                qh_s.at[slot], qho_ref.at[:, pl_ds(b * band, band)],
+                sems.at[slot, 2],
+            ),
+            pltpu.make_async_copy(
+                qn_s.at[slot], qno_ref.at[:, pl_ds(b * band, band)],
+                sems.at[slot, 3],
+            ),
+        )
+
+    for d in dma_in(0, 0):
+        d.start()
+    for b in range(n_bands):
+        slot = b % 2
+        nxt = (b + 1) % 2
+        if b + 1 < n_bands:
+            if b >= 1:
+                # slot `nxt` still holds band b-1's outbound copy: the
+                # write-back must land before the slot is refilled
+                for d in dma_out(nxt, b - 1):
+                    d.wait()
+            for d in dma_in(nxt, b + 1):
+                d.start()
+        for d in dma_in(slot, b):
+            d.wait()
+        xb = jax.lax.dynamic_slice_in_dim(x_new, b * band, band, 0)
+        new_h, new_n = [], []
+        for j, p in enumerate(quantiles):
+            qs = tuple(qh_s[slot, 5 * j + i] for i in range(5))
+            ns = tuple(qn_s[slot, 3 * j + i] for i in range(3))
+            qs2, ns2 = _p2_update(xb, qs, ns, c_prev, w, p)
+            new_h.extend(qs2)
+            new_n.extend(ns2)
+        qh_s[slot] = jnp.stack(new_h)
+        qn_s[slot] = jnp.stack(new_n)
+        for d in dma_out(slot, b):
+            d.start()
+    for b in (n_bands - 2, n_bands - 1):
+        if b >= 0:
+            for d in dma_out(b % 2, b):
+                d.wait()
+
+
 def _block_kernel(
     x_ref, atbs_ref, mean_ref, m2_ref, qh_ref, qn_ref, seed_ref, scal_ref,
     int_ref,
     xo_ref, meano_ref, m2o_ref, qho_ref, qno_ref,
-    *, taps, oy, ox, n_steps, niter_tv, tv_step, with_noise, with_stats,
+    *scratch,
+    taps, oy, ox, n_steps, niter_tv, tv_step, with_noise, with_stats,
     mode, niter_inner, tv_warm, quantiles, quantile_thin, chain_nx,
+    marker_hbm=False,
 ):
     from jax.experimental.pallas import tpu as pltpu
 
@@ -345,6 +443,19 @@ def _block_kernel(
     cnt0 = int_ref[2]  # Welford count entering this block
     masks = _masks(x.shape, x.dtype, chain_nx)
     dtype = x.dtype
+    if marker_hbm:
+        qh_s, qn_s, dma_sems = scratch
+        # prologue: land the incoming marker state in the OUTPUT buffers —
+        # all in-kernel paging then goes through qho/qno so every recorded
+        # step sees its predecessors' updates (HBM->HBM, no VMEM staging)
+        init_h = pltpu.make_async_copy(qh_ref, qho_ref, dma_sems.at[0, 0])
+        init_n = pltpu.make_async_copy(qn_ref, qno_ref, dma_sems.at[0, 1])
+        init_h.start()
+        init_n.start()
+        init_h.wait()
+        init_n.wait()
+    else:
+        assert not scratch
 
     if with_noise:
         pltpu.prng_seed(seed_ref[0, 0], seed_ref[0, 1])
@@ -416,10 +527,16 @@ def _block_kernel(
             c_prev = jnp.maximum(
                 g // quantile_thin - burn // quantile_thin, 0
             )
-            qstate = tuple(
-                _p2_update(x_new, qs, ns, c_prev, w, p)
-                for (qs, ns), p in zip(qstate, quantiles)
-            )
+            if marker_hbm:
+                _p2_hbm_pass(
+                    x_new, c_prev, w, qho_ref, qno_ref,
+                    qh_s, qn_s, dma_sems, quantiles, pltpu,
+                )
+            else:
+                qstate = tuple(
+                    _p2_update(x_new, qs, ns, c_prev, w, p)
+                    for (qs, ns), p in zip(qstate, quantiles)
+                )
         return x_new, mean, m2, tv_dual, env_dual, qstate
 
     def step_body(i, carry):
@@ -480,7 +597,7 @@ def _block_kernel(
     # block, then carried across the block's steps
     tv_dual0 = (zero, zero) if tv_warm else ()
     env_dual0 = (zero, zero) if warm_env else ()
-    if n_q:
+    if n_q and not marker_hbm:
         qh0 = qh_ref[:]
         qn0 = qn_ref[:]
         qstate0 = tuple(
@@ -509,13 +626,15 @@ def _block_kernel(
     if with_stats:
         meano_ref[:] = mean
         m2o_ref[:] = m2
-    if n_q:
+    if n_q and not marker_hbm:
         qho_ref[:] = jnp.stack(
             [q for qs, _ in qstate for q in qs]
         )
         qno_ref[:] = jnp.stack(
             [n for _, ns in qstate for n in ns]
         )
+    # marker_hbm: the P^2 passes already wrote every band of qho/qno via
+    # DMA (qh aliases qho, so later recorded steps read the updated state)
 
 
 @functools.partial(
@@ -523,7 +642,7 @@ def _block_kernel(
     static_argnames=(
         "taps", "oy", "ox", "n_steps", "niter_tv", "tv_step",
         "with_noise", "with_stats", "interpret", "mode", "niter_inner",
-        "tv_warm", "quantiles", "quantile_thin", "chain_nx",
+        "tv_warm", "quantiles", "quantile_thin", "chain_nx", "marker_hbm",
     ),
 )
 def myula_tv_block_update(
@@ -532,7 +651,7 @@ def myula_tv_block_update(
     tv_step: float = 0.25, with_noise: bool = True, with_stats: bool = True,
     interpret: bool = False, mode: str = "tv", niter_inner: int = 10,
     tv_warm: bool = False, quantiles: Tuple[float, ...] = (),
-    quantile_thin: int = 1, chain_nx: int = 0,
+    quantile_thin: int = 1, chain_nx: int = 0, marker_hbm: bool = False,
 ):
     """``n_steps`` fused MYULA steps (+ optional in-kernel Welford / P^2).
 
@@ -567,7 +686,7 @@ def myula_tv_block_update(
         tv_step=tv_step, with_noise=with_noise, with_stats=with_stats,
         mode=mode, niter_inner=niter_inner, tv_warm=tv_warm,
         quantiles=quantiles, quantile_thin=quantile_thin,
-        chain_nx=chain_nx,
+        chain_nx=chain_nx, marker_hbm=marker_hbm,
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -579,9 +698,28 @@ def myula_tv_block_update(
     if with_stats and mean.shape == x.shape:
         aliases[2] = 1
         aliases[3] = 2
-    if n_q and qh.shape == qh_shape:
+    if n_q and qh.shape == qh_shape and not marker_hbm:
         aliases[4] = 3
         aliases[5] = 4
+    marker_spec = vmem
+    scratch_shapes = []
+    if marker_hbm:
+        if not n_q:
+            raise ValueError("marker_hbm without quantiles has no effect")
+        if qh.shape != qh_shape:
+            raise ValueError(
+                "marker_hbm needs qh/qn of the full marker shape"
+            )
+        # marker state stays in HBM (NOT aliased: the kernel prologue
+        # copies qh/qn into the output buffers and pages row bands of
+        # those through double-buffered VMEM scratch, see _p2_hbm_pass)
+        marker_spec = pl.BlockSpec(memory_space=pl.ANY)
+        band = _marker_band_rows(x.shape)
+        scratch_shapes = [
+            pltpu.VMEM((2, 5 * n_q, band, x.shape[1]), x.dtype),
+            pltpu.VMEM((2, 3 * n_q, band, x.shape[1]), x.dtype),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ]
     out = pl.pallas_call(
         kern,
         out_shape=(
@@ -591,13 +729,14 @@ def myula_tv_block_update(
             jax.ShapeDtypeStruct(qh_shape, x.dtype),
             jax.ShapeDtypeStruct(qn_shape, x.dtype),
         ),
-        in_specs=[vmem] * 6 + [vmem, smem, smem],
-        out_specs=(vmem,) * 5,
+        in_specs=[vmem] * 4 + [marker_spec] * 2 + [vmem, smem, smem],
+        out_specs=(vmem,) * 3 + (marker_spec,) * 2,
         input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT_BYTES
         ),
         interpret=interpret,
+        scratch_shapes=scratch_shapes,
     )(x, atbs, mean, m2, qh, qn, seed_tile, scal_f, scal_i)
     return out
 
@@ -742,6 +881,7 @@ def run_myula_tv_fused(
     quantile_state=None,
     step_offset: int = 0,
     chain_nx: int = 0,
+    marker_hbm: Optional[bool] = None,
 ):
     """Block-fused MYULA chain: lax.scan over blocks of fused in-VMEM steps.
 
@@ -757,9 +897,14 @@ def run_myula_tv_fused(
     slower unfused runner (the reference's posterior protocol keeps only the
     mean, prox_lmc_deconv.py:447-474; credible intervals are the point of
     sampling). 10 extra image fields per quantile: at 512^2 f32 a 95% CI
-    adds ~20 MiB of VMEM, fine under the raised limit; at 1024^2 it would
-    not fit — the caller gets a clear Mosaic VMEM error rather than a gate
-    here. ``quantile_state`` resumes from a prior ``result.quantile_state``,
+    adds ~20 MiB of VMEM, fine under the raised limit; at 1024^2 the
+    markers do NOT fit, so ``marker_hbm`` (default: auto by size) keeps
+    them resident in HBM and the kernel pages them through VMEM in
+    double-buffered row bands on each recorded observation — combine with
+    ``quantile_thin`` to amortize the marker traffic (the paging cost is
+    per OBSERVATION, so thin=16 makes 1024^2 CI nearly free; see
+    scripts/bench_ci_1024.py). ``quantile_state`` resumes from a prior
+    ``result.quantile_state``,
     with ``step_offset`` giving this run's global starting step so the P^2
     observation count (and burn-in masking) continue across segmented runs.
 
@@ -816,6 +961,12 @@ def run_myula_tv_fused(
     )
     quantiles = tuple(float(p) for p in quantiles)
     n_q = len(quantiles)
+    if marker_hbm is None:
+        # auto: page markers through HBM once their in+out VMEM windows
+        # (16 fields per quantile) would crowd the 128 MiB core — in
+        # practice: in-VMEM through 512^2, HBM-paged at 1024^2 and up
+        marker_bytes = 16 * n_q * x0.size * jnp.dtype(x0.dtype).itemsize
+        marker_hbm = n_q > 0 and marker_bytes > 64 * 1024 * 1024
     # traced-friendly (run_resumable_fused passes the bundle's done counter)
     step_offset = jnp.asarray(step_offset, jnp.int32)
 
@@ -837,6 +988,7 @@ def run_myula_tv_fused(
             interpret=interpret, mode=mode, niter_inner=niter_inner,
             tv_warm=tv_warm, quantiles=quantiles,
             quantile_thin=quantile_thin, chain_nx=chain_nx,
+            marker_hbm=bool(marker_hbm),
         )
         return (x, mean, m2, qh, qn), None
 

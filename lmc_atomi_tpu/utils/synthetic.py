@@ -104,7 +104,11 @@ def photo_bank(dtype=jnp.float32):
 
         from lmc_atomi_tpu.utils.images import einstein, hopper
 
-        bank = np.stack([einstein(512), hopper(512)]) / 255.0
+        # decode at float64 so a wider requested dtype keeps full precision
+        # (the PNGs are uint8, so f64/255 is exact), then cast once
+        bank = np.stack(
+            [einstein(512, np.float64), hopper(512, np.float64)]
+        ) / 255.0
         _PHOTO_BANK_CACHE[key] = jnp.asarray(bank, dtype)
     return _PHOTO_BANK_CACHE[key]
 

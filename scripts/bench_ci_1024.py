@@ -1,16 +1,18 @@
-"""1024^2 credible-interval maps (round-3 'demo-scale extras' bar:
-VERDICT r2 asked the 1024^2 path to graduate from a throughput footnote
-to a first-class measured config).
+"""1024^2 credible-interval maps.
 
-MEASURED CEILING: the in-kernel P^2 stream does NOT fit at 1024^2 — the
-quantile marker state (10 extra whole-image f32 fields for a 95% CI,
-each single-buffered as both input and output windows) pushes the fused
-kernel's Mosaic program to 325.55 MB of VMEM against the 128 MB core
-capacity, a permanent XLA:TPU compile error, so in-kernel CI tops out
-at 512^2 (where the same program is ~81 MB). The 1024^2 CI path is the
-unfused XLA chain instead: `run_chain(collect="stats",
-quantile_ps=...)` keeps the five-marker P^2 state in HBM where capacity
-is a non-issue and XLA fuses the marker recurrence into the step.
+Round-3 ceiling (still true for the in-VMEM marker layout): the P^2
+marker state (10 extra whole-image f32 fields for a 95% CI, counted as
+both input and output windows) pushes the fused kernel's Mosaic program
+to 325.55 MB of VMEM against the 128 MB core — a permanent compile
+error, so IN-VMEM markers top out at 512^2.
+
+Round 4 lifts the ceiling with ``marker_hbm=True`` (auto past 512^2):
+the markers stay resident in HBM and each recorded observation pages
+them through double-buffered VMEM row bands inside the kernel
+(kernels/myula_fused.py::_p2_hbm_pass). The paging cost is per
+OBSERVATION (~128 MiB of HBM round trip for a 95% CI at 1024^2), so
+``quantile_thin`` amortizes it: this script measures thin = 1/8/16
+against the moments-only fused chain and the old unfused-XLA CI path.
 
 Run on the real chip: ``python scripts/bench_ci_1024.py``.
 """
@@ -44,11 +46,22 @@ def main(n: int = 1024, steps: int = 20000, burn: int = 2000):
     tau = 0.2 * gamma
     kern = myula_imaging(l2, TVNorm(sigma=0.3, niter=10), tau=tau,
                          gamma=gamma)
+    def fused_ci(thin):
+        return jax.jit(
+            lambda x, k: run_myula_tv_fused(
+                l2, 0.3, tau, gamma, x, k, steps, block=512, burn_in=burn,
+                quantiles=(0.025, 0.975), quantile_thin=thin,
+            )
+        )
+
     runs = (
         ("fused, moments only", jax.jit(
             lambda x, k: run_myula_tv_fused(
                 l2, 0.3, tau, gamma, x, k, steps, block=500, burn_in=burn,
             ))),
+        ("fused + 95% CI, HBM-paged markers, thin=16", fused_ci(16)),
+        ("fused + 95% CI, HBM-paged markers, thin=8", fused_ci(8)),
+        ("fused + 95% CI, HBM-paged markers, thin=1", fused_ci(1)),
         ("unfused XLA, moments + 95% CI (P^2 in HBM)", jax.jit(
             lambda x, k: run_chain(
                 kern, x, k, steps, collect="stats",
@@ -65,9 +78,10 @@ def main(n: int = 1024, steps: int = 20000, burn: int = 2000):
         p = float(psnr(img, out.moments.mean))
         msg = f"{n}^2 {label}: {ips:.0f} iters/s psnr_mean={p:.2f}"
         if out.quantiles is not None:
-            w = float(jnp.mean(
-                out.quantiles[0.975].value - out.quantiles[0.025].value
-            ))
+            lo, hi = out.quantiles[0.025], out.quantiles[0.975]
+            if hasattr(hi, "value"):  # unfused RunningQuantile objects
+                lo, hi = lo.value, hi.value
+            w = float(jnp.mean(hi - lo))
             msg += f" mean_ci_width={w:.3f}"
         print(msg)
 

@@ -453,3 +453,67 @@ class TestLanePackedChains:
                 np.asarray(solo[i].final_state.position),
                 rtol=1e-5, atol=1e-6,
             )
+
+
+class TestMarkerHBM:
+    """HBM-paged P^2 marker state (``marker_hbm=True``): the quantile
+    markers stream through double-buffered VMEM row bands instead of
+    living whole in VMEM — required past 512^2 where the in-VMEM marker
+    windows exceed the core. The recurrence must be EXACTLY the in-VMEM
+    kernel's (same observations, same parabolic updates)."""
+
+    def _run(self, marker_hbm, thin=1, n_steps=24, resume_at=None, n=32):
+        img, blur, y, l2, tau, gamma = _problem(n=n)
+        kw = dict(
+            niter_tv=4, block=8, burn_in=4, noise_scale=0.0,
+            interpret=not ON_TPU, quantiles=(0.025, 0.5, 0.975),
+            quantile_thin=thin, marker_hbm=marker_hbm,
+        )
+        if resume_at is None:
+            return run_myula_tv_fused(
+                l2, 0.3, tau, gamma, jnp.zeros((n, n)),
+                jax.random.PRNGKey(3), n_steps, **kw
+            )
+        r1 = run_myula_tv_fused(
+            l2, 0.3, tau, gamma, jnp.zeros((n, n)),
+            jax.random.PRNGKey(3), resume_at, **kw
+        )
+        return run_myula_tv_fused(
+            l2, 0.3, tau, gamma, r1.final_state.position,
+            jax.random.PRNGKey(3), n_steps - resume_at,
+            quantile_state=r1.quantile_state, step_offset=resume_at, **kw
+        )
+
+    @pytest.mark.parametrize("thin", [1, 4])
+    def test_exact_parity_with_in_vmem_markers(self, thin):
+        r_v = self._run(False, thin=thin)
+        r_h = self._run(True, thin=thin)
+        for p, q in r_v.quantiles.items():
+            np.testing.assert_array_equal(
+                np.asarray(q), np.asarray(r_h.quantiles[p])
+            )
+        np.testing.assert_array_equal(
+            np.asarray(r_v.moments.mean), np.asarray(r_h.moments.mean)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(r_v.quantile_state[1]),
+            np.asarray(r_h.quantile_state[1]),
+        )
+
+    def test_segmented_resume_matches_single_run(self):
+        whole = self._run(True, thin=4, n_steps=24)
+        seg = self._run(True, thin=4, n_steps=24, resume_at=8)
+        for p, q in whole.quantiles.items():
+            np.testing.assert_allclose(
+                np.asarray(q), np.asarray(seg.quantiles[p]),
+                rtol=1e-6, atol=1e-7,
+            )
+
+    def test_multiband_image_uses_multiple_bands(self):
+        # 256 rows -> band 128, two bands: exercises the double-buffer
+        # slot hand-off (in/out DMA overlap across bands)
+        r_v = self._run(False, thin=4, n=256, n_steps=8)
+        r_h = self._run(True, thin=4, n=256, n_steps=8)
+        np.testing.assert_array_equal(
+            np.asarray(r_v.quantiles[0.5]), np.asarray(r_h.quantiles[0.5])
+        )
