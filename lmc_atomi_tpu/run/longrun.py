@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from lmc_atomi_tpu.core.checkpoint import restore_checkpoint, save_checkpoint
-from lmc_atomi_tpu.core.random import as_key, step_key
+from lmc_atomi_tpu.core.random import as_key, chain_keys, step_key
 from lmc_atomi_tpu.core.stats import RunningMoments
 from lmc_atomi_tpu.kernels.base import Kernel
 
@@ -124,6 +124,7 @@ def run_resumable_fused(
     burn_in: int = 0,
     progress: Optional[Callable[[int, dict], None]] = None,
     runner: str = "tv",
+    chains_mesh=None,
     **fused_kwargs,
 ):
     """Checkpointed long MYULA runs on the block-fused TPU path.
@@ -147,6 +148,16 @@ def run_resumable_fused(
     inpainting posterior — ``tv_sigma`` is the wavelet-l1 weight ``lam``;
     ``levels``/``taps`` pass through ``fused_kwargs``). Both carry the
     in-kernel P^2 ``quantiles`` stream through checkpoints.
+
+    CHAIN-FARM MODE: an ``x0`` of shape ``(n_chains, ny, nx)`` runs
+    ``n_chains`` independent chains of the same posterior, each segment a
+    single vmapped fused call with per-chain fold keys. ``chains_mesh`` (a
+    one-axis ``jax.sharding.Mesh`` named ``"chains"``) additionally
+    shard_maps the farm across devices — the checkpointed multi-device
+    production path: per-chain moments/quantile markers ride in the bundle,
+    so a preempted farm resumes bit-identically on a fresh slice, and
+    pooled stats + Gelman-Rubin come from
+    ``eval.diagnostics.rhat_from_moments`` on the per-chain moments.
     """
     import functools as _ft
 
@@ -155,31 +166,37 @@ def run_resumable_fused(
 
     key = as_key(key)
     x0 = jnp.asarray(x0)
+    multi = x0.ndim == 3
+    n_chains = x0.shape[0] if multi else 0
+    field_shape = x0.shape[-2:]
     quantiles = tuple(float(p) for p in fused_kwargs.pop("quantiles", ()))
     bundle = {
         "position": x0,
-        "moments": RunningMoments.init(x0),
+        # per-chain counts in farm mode (vmapped init/merge): Chan combine
+        # broadcasting expects count/field ranks to pair up per chain
+        "moments": (
+            jax.vmap(RunningMoments.init)(x0) if multi
+            else RunningMoments.init(x0)
+        ),
         "key": key,
         "done": jnp.zeros((), jnp.int32),
     }
     if quantiles:
         n_q = len(quantiles)
+        lead = (n_chains,) if multi else ()
+        qn0 = jnp.tile(
+            jnp.arange(2.0, 5.0, dtype=x0.dtype)[:, None, None],
+            (n_q,) + field_shape,
+        )
         bundle["quantile_state"] = (
-            jnp.zeros((5 * n_q,) + x0.shape, x0.dtype),
+            jnp.zeros(lead + (5 * n_q,) + field_shape, x0.dtype),
             # interior marker positions (n1, n2, n3); extremes implicit
-            jnp.tile(
-                jnp.arange(2.0, 5.0, dtype=x0.dtype)[:, None, None],
-                (n_q, x0.shape[0], x0.shape[1]),
-            ),
+            jnp.broadcast_to(qn0, lead + qn0.shape) if multi else qn0,
         )
     if ckpt_path and os.path.exists(ckpt_path):
         bundle = restore_checkpoint(ckpt_path, bundle)
 
-    # jit the segment runner ONCE: eager per-segment calls re-trace the
-    # block scan every segment (~16 s each at 512^2). The global start step
-    # (`off` = done) is traced, so only distinct tail lengths recompile.
-    @_ft.partial(jax.jit, static_argnames="n")
-    def run_seg(x, k, n, off, qstate):
+    def _one_chain(x, k, n, off, qstate):
         if runner == "wavelet":
             return run_myula_wavelet_fused(
                 l2, tv_sigma, tau, gamma, x, k, n, burn_in=burn_in,
@@ -191,6 +208,31 @@ def run_resumable_fused(
             quantiles=quantiles, quantile_state=qstate, step_offset=off,
             **fused_kwargs,
         )
+
+    # jit the segment runner ONCE: eager per-segment calls re-trace the
+    # block scan every segment (~16 s each at 512^2). The global start step
+    # (`off` = done) is traced, so only distinct tail lengths recompile.
+    @_ft.partial(jax.jit, static_argnames="n")
+    def run_seg(x, k, n, off, qstate):
+        if not multi:
+            return _one_chain(x, k, n, off, qstate)
+        ks = chain_keys(k, n_chains)
+        # `off` rides through explicitly (closed-over tracers do not cross
+        # a shard_map boundary)
+        farm = jax.vmap(
+            lambda xi, ki, qi, offi: _one_chain(xi, ki, n, offi, qi),
+            in_axes=(0, 0, 0 if quantiles else None, None),
+        )
+        if chains_mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            c = P("chains")
+            farm = jax.shard_map(
+                farm, mesh=chains_mesh,
+                in_specs=(c, c, c if quantiles else P(), P()),
+                out_specs=c, check_vma=False,
+            )
+        return farm(x, ks, qstate, off)
 
     while int(bundle["done"]) < total_steps:
         done = int(bundle["done"])
@@ -207,9 +249,13 @@ def run_resumable_fused(
                 f"{done + n}; last checkpoint at {done} steps"
                 + (f" in {ckpt_path}" if ckpt_path else "")
             )
+        merged = (
+            jax.vmap(lambda a, b: a.merge(b))(bundle["moments"], res.moments)
+            if multi else bundle["moments"].merge(res.moments)
+        )
         bundle = {
             "position": pos,
-            "moments": bundle["moments"].merge(res.moments),
+            "moments": merged,
             "key": bundle["key"],
             "done": bundle["done"] + n,
         }
@@ -222,6 +268,6 @@ def run_resumable_fused(
     if quantiles:
         qh = bundle["quantile_state"][0]
         bundle["quantiles"] = {
-            p: qh[5 * j + 2] for j, p in enumerate(quantiles)
+            p: qh[..., 5 * j + 2, :, :] for j, p in enumerate(quantiles)
         }
     return bundle

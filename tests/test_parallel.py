@@ -305,3 +305,179 @@ class TestFusedKernelsUnderMesh:
                 np.asarray(sharded.quantiles[p]),
                 np.asarray(plain.quantiles[p]), rtol=1e-6,
             )
+
+
+class TestFusedFamilyUnderMesh:
+    """Round-4 VERDICT item 5: mesh coverage for the REST of the fused
+    family — ULPDA, the wavelet kernels, and the checkpointed chain-farm
+    long-run driver — plus a TPU-gated stochastic shard_map case (the
+    on-core PRNG path under a 1-device mesh on real hardware)."""
+
+    def _deblur(self, n=32):
+        from lmc_atomi_tpu.ops.functionals import L2Data
+        from lmc_atomi_tpu.ops.linops import CirculantBlur2D, uniform_kernel
+        from lmc_atomi_tpu.utils.images import phantom
+
+        img = jnp.asarray(phantom(n), jnp.float32)
+        blur = CirculantBlur2D.from_kernel(
+            (n, n), uniform_kernel(5, jnp.float32)
+        )
+        y = jax.jit(
+            lambda im, k: blur.matvec(im)
+            + 0.75 * jax.random.normal(k, (n, n), jnp.float32)
+        )(img, jax.random.PRNGKey(0))
+        return img, L2Data.create(op=blur, b=y, sigma=1 / 0.75**2)
+
+    def _inpaint(self, n=32):
+        from lmc_atomi_tpu.ops.functionals import L2Data
+        from lmc_atomi_tpu.ops.linops import Mask
+
+        key = jax.random.PRNGKey(5)
+        km, ki = jax.random.split(key)
+        img = jax.random.uniform(ki, (n, n), jnp.float32)
+        mask = (jax.random.uniform(km, (n, n)) > 0.5).astype(jnp.float32)
+        return img, L2Data(op=Mask(mask=mask), b=mask * img, sigma=100.0)
+
+    def test_fused_ulpda_under_shard_map(self):
+        from jax.sharding import PartitionSpec as P
+
+        from lmc_atomi_tpu.core.random import chain_keys
+        from lmc_atomi_tpu.kernels.ulpda_fused import run_ulpda_fused
+        from lmc_atomi_tpu.ops.functionals import L21Norm
+        from lmc_atomi_tpu.ops.linops import Gradient2D
+
+        img, l2 = self._deblur()
+        tau = 0.95 * 0.75**2
+        x0 = jnp.zeros((8,) + img.shape, img.dtype)
+        keys = chain_keys(jax.random.PRNGKey(2), 8)
+
+        def farm(x, k):
+            return jax.vmap(
+                lambda xi, ki: run_ulpda_fused(
+                    l2, L21Norm(sigma=0.3), Gradient2D(), tau, 1.0,
+                    xi, ki, 4, block=2, burn_in=1, noise_scale=0.0,
+                    interpret=True,
+                ).moments.mean
+            )(x, k)
+
+        plain = jax.jit(farm)(x0, keys)
+        sharded = jax.jit(
+            jax.shard_map(
+                farm, mesh=chain_mesh(), in_specs=(P("chains"), P("chains")),
+                out_specs=P("chains"), check_vma=False,
+            )
+        )(x0, keys)
+        np.testing.assert_allclose(
+            np.asarray(sharded), np.asarray(plain), rtol=1e-6
+        )
+
+    def test_fused_wavelet_ulpda_under_shard_map(self):
+        from jax.sharding import PartitionSpec as P
+
+        from lmc_atomi_tpu.core.random import chain_keys
+        from lmc_atomi_tpu.kernels.wavelet_fused import (
+            run_ulpda_wavelet_fused,
+        )
+
+        img, l2 = self._inpaint()
+        tau = 0.95 / l2.sigma
+        x0 = jnp.zeros((8,) + img.shape, img.dtype)
+        keys = chain_keys(jax.random.PRNGKey(3), 8)
+
+        def farm(x, k):
+            res = jax.vmap(
+                lambda xi, ki: run_ulpda_wavelet_fused(
+                    l2, 0.25, tau, 1.0, xi, ki, 4, levels=2, block=2,
+                    noise_scale=0.0, quantiles=(0.5,), interpret=True,
+                )
+            )(x, k)
+            return res.moments.mean, res.quantiles[0.5]
+
+        plain = jax.jit(farm)(x0, keys)
+        sharded = jax.jit(
+            jax.shard_map(
+                farm, mesh=chain_mesh(), in_specs=(P("chains"), P("chains")),
+                out_specs=P("chains"), check_vma=False,
+            )
+        )(x0, keys)
+        for a, b in zip(sharded, plain):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6)
+
+    def test_resumable_fused_chain_farm_under_mesh(self):
+        """Two-segment checkpointed farm over the mesh == the unsharded
+        farm == a single-segment run (moments, quantiles, positions)."""
+        from lmc_atomi_tpu.run.longrun import run_resumable_fused
+
+        img, l2 = self._deblur()
+        x0 = jnp.zeros((8,) + img.shape, img.dtype)
+        kw = dict(burn_in=2, noise_scale=0.0, interpret=True, block=4,
+                  quantiles=(0.25, 0.75))
+        plain = run_resumable_fused(
+            l2, 0.3, 0.05, 1.0, x0, jax.random.PRNGKey(0), 8, 4, **kw
+        )
+        mesh = run_resumable_fused(
+            l2, 0.3, 0.05, 1.0, x0, jax.random.PRNGKey(0), 8, 4,
+            chains_mesh=chain_mesh(), **kw
+        )
+        one = run_resumable_fused(
+            l2, 0.3, 0.05, 1.0, x0, jax.random.PRNGKey(0), 8, 8, **kw
+        )
+        np.testing.assert_array_equal(
+            np.asarray(mesh["position"]), np.asarray(plain["position"])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(mesh["quantiles"][0.75]),
+            np.asarray(plain["quantiles"][0.75]),
+        )
+        np.testing.assert_allclose(
+            np.asarray(mesh["moments"].mean), np.asarray(one["moments"].mean),
+            rtol=1e-6, atol=1e-7,
+        )
+        assert np.asarray(mesh["moments"].count).shape == (8,)
+
+    @pytest.mark.skipif(
+        jax.default_backend() != "tpu",
+        reason="on-core PRNG needs a real TPU",
+    )
+    def test_stochastic_fused_kernel_under_one_device_mesh(self):
+        """The on-core PRNG path (noise_scale=1) executing INSIDE shard_map
+        on real hardware — closes the 'plumbing validated, stochastic path
+        not' gap (PARITY.md): a 1-device mesh exercises the same shard_map
+        lowering the multi-chip farm uses."""
+        from jax.sharding import PartitionSpec as P
+
+        from lmc_atomi_tpu.core.random import chain_keys
+        from lmc_atomi_tpu.kernels.myula_fused import run_myula_tv_fused
+
+        img, l2 = self._deblur()
+        gamma = 0.75**2
+        x0 = jnp.zeros((1,) + img.shape, img.dtype)
+        keys = chain_keys(jax.random.PRNGKey(4), 1)
+
+        def farm(x, k):
+            return jax.vmap(
+                lambda xi, ki: run_myula_tv_fused(
+                    l2, 0.3, 0.2 * gamma, gamma, xi, ki, 64, block=32,
+                    burn_in=16, quantiles=(0.5,),
+                )
+            )(x, k).moments.mean
+
+        mesh = chain_mesh(1)
+        out = jax.jit(
+            jax.shard_map(
+                farm, mesh=mesh, in_specs=(P("chains"), P("chains")),
+                out_specs=P("chains"), check_vma=False,
+            )
+        )(x0, keys)
+        out.block_until_ready()
+        assert np.isfinite(np.asarray(out)).all()
+        # noise actually flowed: a stochastic mean differs from the
+        # deterministic recursion's
+        det = jax.vmap(
+            lambda xi, ki: run_myula_tv_fused(
+                l2, 0.3, 0.2 * gamma, gamma, xi, ki, 64, block=32,
+                burn_in=16, noise_scale=0.0,
+            ).moments.mean
+        )(x0, keys)
+        assert float(jnp.max(jnp.abs(out - det))) > 1e-4
