@@ -21,6 +21,7 @@ def sgld_grid_mixture(
     moreau_lam: float = 0.1,
     k: int = 50000,
     msgld_step_scale: float = 8.0,
+    prox_step_scale: float = 8.0,
     zeta: float = 0.75,
     sz: float = 10.0,
     temperature: float = 50.0,
@@ -50,8 +51,17 @@ def sgld_grid_mixture(
     x0 = -10 + 20 * jax.random.uniform(key, (2,))
 
     sched = S.polynomial_schedule(0.05, -0.55)
-    prox_fn = lambda x: prox_laplace(x, moreau_lam * alpha)
-    moreau_grad = lambda x: (x - prox_fn(x)) / moreau_lam
+    # the prox variants target mixture x Laplace(alpha): penalty |x|/alpha.
+    # SPGLD's prox must be STEP-SCALED (prox_{g f}: threshold g/alpha) —
+    # a constant threshold implies a prior weight of threshold/g that
+    # grows ~40x over the decaying schedule and collapses coverage to the
+    # near-origin modes (measured 3/25; scripts/diag_prox_sgld.py).
+    prox_fn = lambda x, g: prox_laplace(x, g / alpha)
+    # Moreau-envelope pieces keep the CONSTANT smoothing parameter
+    # moreau_lam (that is the MY smoothing, not a step): grad saturates at
+    # 1/alpha and enters the drift multiplied by g — correctly scaled.
+    prox_my = lambda x: prox_laplace(x, moreau_lam / alpha)
+    moreau_grad = lambda x: (x - prox_my(x)) / moreau_lam
 
     sa_sched = lambda step: jnp.minimum(1e-2, (step + 100.0) ** (-0.8)) * sz
 
@@ -77,11 +87,17 @@ def sgld_grid_mixture(
         ),
     }
     if include_prox:
+        # prox variants run the same tuned step scale as MSGLD (measured:
+        # 15/25 at the reference a0=0.05, 19/25 at 8x, vs the long-MALA
+        # ground truth's shell-matched coverage; scripts/diag_prox_sgld.py)
+        sched_p = S.polynomial_schedule(0.05 * prox_step_scale, -0.55)
         kernels.update(
             {
-                "SPGLD": S.spgld(gm.grad_log_prob, prox_fn, sched),
-                "SSGLD": S.ssgld(gm.grad_log_prob, moreau_grad, sched),
-                "MYSGLD": S.mysgld(gm.grad_log_prob, prox_fn, moreau_lam, sched),
+                "SPGLD": S.spgld(gm.grad_log_prob, prox_fn, sched_p),
+                "SSGLD": S.ssgld(gm.grad_log_prob, moreau_grad, sched_p),
+                "MYSGLD": S.mysgld(
+                    gm.grad_log_prob, prox_my, moreau_lam, sched_p
+                ),
                 "cyclicalSPGLD": S.cyclical_spgld(
                     gm.grad_log_prob, prox_fn, k, 30, 0.09, 0.25
                 ),

@@ -201,7 +201,7 @@ def cyclical_sgld(
 
         x = jax.lax.cond(do_sample, sample_move, explore_move, state.position)
         if prox_fn is not None:
-            x = prox_fn(x)
+            x = _as_stepped_prox(prox_fn)(x, g)
         return state.next(x), StepInfo(accepted=do_sample)
 
     return Kernel(init, step)
@@ -279,7 +279,7 @@ def csgld(
         mult = jnp.clip(mult, -mult_clip, mult_clip)
         x_new = x + lr * mult * grad_fn(x) + jnp.sqrt(2 * lr * temperature) * xi
         if prox_fn is not None:
-            x_new = prox_fn(x_new)
+            x_new = _as_stepped_prox(prox_fn)(x_new, lr)
 
         onehot = jax.nn.one_hot(j, num_partitions, dtype=pdf.dtype)
         # Deng et al. stochastic-approximation update; it preserves total
@@ -333,11 +333,35 @@ def csgld_importance_resample(
 # --- proximal SGLD variants (C23) -------------------------------------------
 
 
+def _as_stepped_prox(prox_fn: Callable) -> Callable:
+    """Normalize a prior prox to the ``(x, g) -> x`` contract.
+
+    Proximal-gradient Langevin theory wants ``prox_{g*f}`` — the prox
+    threshold must scale with the CURRENT step size. A constant-threshold
+    prox corresponds to an effective prior weight of ``threshold / g``,
+    which GROWS as the schedule decays (at the reference polynomial
+    schedule, ~40x between step 1 and step 50000) and was measured to
+    collapse SPGLD onto the near-origin modes (4/25; see RESULTS.md
+    "SGLD family"). One-arg proxes are still accepted for explicitly
+    step-free composition, with the bias documented here."""
+    import inspect
+
+    try:
+        n = len(inspect.signature(prox_fn).parameters)
+    except (TypeError, ValueError):
+        n = 1
+    if n >= 2:
+        return prox_fn
+    return lambda x, g: prox_fn(x)
+
+
 def spgld(grad_fn: Callable, prox_fn: Callable, schedule) -> Kernel:
     """Stochastic proximal gradient LD: SGLD move, then prior prox
     (the proximal analogue of PGLD, reference prox_lmc.py:99-110 /
-    jax/prox_sgld.py:111-162 intent)."""
+    jax/prox_sgld.py:111-162 intent). ``prox_fn`` may take ``(x, g)``
+    to receive the current step size (see ``_as_stepped_prox``)."""
     gf = _as_keyed_grad(grad_fn)
+    pf = _as_stepped_prox(prox_fn)
 
     def init(x0):
         return SamplerState.init(x0)
@@ -347,7 +371,7 @@ def spgld(grad_fn: Callable, prox_fn: Callable, schedule) -> Kernel:
         k_batch, k_noise = jax.random.split(key)
         xi = normal_like(k_noise, state.position)
         x = state.position + g * gf(state.position, k_batch) + jnp.sqrt(2 * g) * xi
-        return state.next(prox_fn(x)), StepInfo()
+        return state.next(pf(x, g)), StepInfo()
 
     return Kernel(init, step)
 

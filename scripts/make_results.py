@@ -536,7 +536,20 @@ def sec_sgld(lines, sgld_k: int):
         "",
         "Mode coverage = modes with a retained draw within unit distance",
         "(the multimodal-exploration diagnostic the contour/cyclical",
-        "variants exist for; reference jax/sgld.py, jax/prox_sgld.py):",
+        "variants exist for; reference jax/sgld.py, jax/prox_sgld.py).",
+        "",
+        "The prox variants target the mixture TIMES a Laplace(alpha=1)",
+        "prior, so their honest ceiling is NOT 25/25-with-uniform-mass:",
+        "a 200k-step MALA ground truth on the composite target covers",
+        "25/25 with shell counts 19813/17966/6025/897/35 (L1 radius",
+        "0/2/4/6/8) — the corner modes carry e^-8 of the center's mass.",
+        "Round-4 diagnosis (`scripts/diag_prox_sgld.py`, matched noise,",
+        "schedule sweep, prior ablation): the round-3 collapse (SPGLD",
+        "4/25) was a CONSTANT prox threshold, whose implied prior weight",
+        "threshold/g grows ~40x over the decaying schedule; with the",
+        "step-scaled prox prox_{g|.|/alpha} (kernels/sgmcmc.py::",
+        "_as_stepped_prox) and the same 8x tuned schedule MSGLD runs,",
+        "coverage and shell decay now track the MALA truth.",
         "",
         "| sampler | iters/s | retained draws | modes covered /25 |",
         "|---|---|---|---|",

@@ -189,3 +189,27 @@ def test_minibatch_grad_estimator_unbiased():
             lambda d: loglik(xx, d))(data)))(x)
     )
     np.testing.assert_allclose(grads.mean(0), full, rtol=0.05)
+
+
+def test_spgld_step_scaled_prox_golden():
+    """Two-arg proxes receive the CURRENT step size (the proximal-gradient
+    prox_{g f} contract; a constant threshold over-regularizes as the
+    schedule decays — scripts/diag_prox_sgld.py)."""
+    from lmc_atomi_tpu.ops.prox import prox_laplace
+
+    sched = S.polynomial_schedule(0.05, -0.55)
+    kern = S.spgld(
+        GM.grad_log_prob, lambda x, g: prox_laplace(x, g), sched
+    )
+    res = run_chain(kern, X0, KEY, 30, collect="samples")
+    x = np.asarray(X0)
+    want = []
+    for i in range(30):
+        g = 0.05 * (i + 1.0) ** (-0.55)
+        k = step_key(KEY, i)
+        _, k_noise = jax.random.split(k)
+        xi = np.asarray(jax.random.normal(k_noise, (2,), jnp.float64))
+        x = x + g * np_grad(x) + np.sqrt(2 * g) * xi
+        x = np.sign(x) * np.maximum(np.abs(x) - g, 0)
+        want.append(x.copy())
+    np.testing.assert_allclose(np.asarray(res.samples), want, rtol=1e-7)
