@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["phantom", "einstein", "hopper", "terrain", "load_image"]
+__all__ = ["phantom", "einstein", "hopper", "mri", "terrain", "load_image"]
 
 
 def phantom(n: int = 512, dtype=np.float32) -> np.ndarray:
@@ -128,16 +128,51 @@ def terrain(n: int = 512, dtype=np.float32) -> np.ndarray:
     return np.clip(img, 0.0, 255.0).astype(dtype)
 
 
+def mri(n: int = 256, dtype=np.float32) -> np.ndarray:
+    """Real-capture MRI brain slice in [0, 255] (256x256 native).
+
+    The THIRD real-capture evaluation image (reference protocol uses three
+    natural test images, prox_lmc_deconv.py:44-50: camera, einstein,
+    ascent; camera/ascent live inside the absent skimage and are not
+    fetchable here — zero egress). This is the classic s1045 MR slice
+    redistributed with matplotlib's BSD-licensed sample data (decoded once
+    to ``assets/mri.png``, 16-bit source scaled to 8-bit): a genuine
+    camera-class capture with large flat background regions plus
+    fine anatomical texture — exactly the statistics the deconvolution
+    protocol wants. Native 256x256; requests up to that size center-crop,
+    larger raise (no fabricated detail)."""
+    import os
+
+    from lmc_atomi_tpu.utils.png import read_png_gray
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)
+        ))),
+        "assets",
+        "mri.png",
+    )
+    img = read_png_gray(path)
+    h, w = img.shape
+    if n > min(h, w):
+        raise ValueError(f"mri source is {h}x{w}; cannot crop to {n}")
+    y0, x0 = (h - n) // 2, (w - n) // 2
+    return img[y0:y0 + n, x0:x0 + n].astype(dtype)
+
+
 def load_image(name: str, n: int = 512, dtype=np.float32) -> np.ndarray:
     """Named test image: 'phantom' (synthetic piecewise-smooth),
-    'einstein' / 'hopper' (natural photographs), or 'terrain' (synthetic
-    with natural 1/f spectral statistics)."""
+    'einstein' / 'hopper' (natural photographs), 'mri' (real MR capture,
+    256^2 native), or 'terrain' (synthetic with natural 1/f spectral
+    statistics)."""
     if name == "phantom":
         return phantom(n, dtype)
     if name == "einstein":
         return einstein(n, dtype)
     if name == "hopper":
         return hopper(n, dtype)
+    if name == "mri":
+        return mri(n, dtype)
     if name == "terrain":
         return terrain(n, dtype)
     raise ValueError(f"unknown test image {name!r}")
