@@ -31,6 +31,9 @@ def ct_tv_myula(
     tau_tv: float = 5.0,
     n_steps: int = 2000,
     burn_in: int = 200,
+    tau_scale: float = 0.2,
+    segment_steps: int = 250,
+    ci_quantiles: tuple = (),
     niter_tv: int = 10,
     compute_map: bool = True,
     niter_map: int = 500,
@@ -84,7 +87,7 @@ def ct_tv_myula(
     lmax = float(jax.jit(lambda p: LinOp.max_gram_eig(op, probe=p, iters=20))(probe))
     lips = lmax / sigma**2
     gamma = 1.0 / lips
-    tau_step = 0.2 * gamma
+    tau_step = tau_scale * gamma
 
     # initialize at the filtered backprojection (Hann-apodized ramp — the
     # analytic CT inverse; +2-5 dB over the normalized plain backprojection
@@ -139,10 +142,25 @@ def ct_tv_myula(
 
     kern = myula_imaging(l2, tv, tau=tau_step, gamma=gamma)
     t0 = time.perf_counter()
+    # per-segment running-mean PSNR: the convergence trace that separates
+    # "unconverged chain" from "the posterior mean genuinely sits there"
+    # (round-4 VERDICT item 2)
+    trace = []
+
+    def _trace(done, moments):
+        if done > burn_in:
+            trace.append(
+                [int(done),
+                 round(float(psnr_fn(img, moments.mean)), 3)]
+            )
+
     # segmented executions: the Radon step is expensive and reference step
     # counts in ONE device execution exceed the tunneled runtime's limit
     res = run_chain_segmented(kern, x_init, jax.random.fold_in(key, 2),
-                              n_steps, burn_in=burn_in)
+                              n_steps, burn_in=burn_in,
+                              segment_steps=segment_steps,
+                              quantile_ps=tuple(ci_quantiles),
+                              progress=_trace)
     jax.block_until_ready(res.moments.mean)
     dt = time.perf_counter() - t0
 
@@ -152,6 +170,11 @@ def ct_tv_myula(
         psnr_fn(img, jnp.asarray(mean, dtype))
     )
     report["iters_per_sec"] = round(n_steps / dt, 1)
+    report["psnr_trace"] = trace
+    if ci_quantiles:
+        lo, hi = min(ci_quantiles), max(ci_quantiles)
+        w = res.quantiles[hi].value - res.quantiles[lo].value
+        report["mean_ci_width"] = round(float(jnp.mean(w)), 4)
 
     pnp_mean = None
     if pnp:

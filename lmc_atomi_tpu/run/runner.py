@@ -215,6 +215,8 @@ def run_chain_segmented(
     segment_steps: int = 250,
     burn_in: int = 0,
     init_args: tuple = (),
+    quantile_ps: tuple = (),
+    progress=None,
 ) -> ChainResult:
     """``run_chain(collect='stats')`` split into bounded device executions.
 
@@ -226,37 +228,61 @@ def run_chain_segmented(
     keys fold ``state.step``, so the draws, the burn-in weights, and the
     streaming Welford moments are bit-identical to the single-execution
     ``run_chain``.
+
+    ``quantile_ps`` carries per-pixel streaming P^2 quantile state across
+    segments (credible-interval maps for expensive-step chains, cf.
+    ``run_chain``). ``progress(done, moments)`` is called after every
+    segment — long-run convergence monitoring (e.g. running-mean PSNR per
+    segment in experiments/ct.py) without hoarding samples.
     """
     import functools
 
     key = as_key(key)
     state = kernel.init(x0, *init_args)
     moments = RunningMoments.init(state.position)
+    quants = {
+        p: RunningQuantile.init(
+            jnp.shape(state.position), p, jnp.asarray(state.position).dtype
+        )
+        for p in quantile_ps
+    } or None
     block = _emit_block(kernel, key, 1)
 
     @functools.partial(jax.jit, static_argnames="ns")
-    def seg(state, moments, done, ns):
+    def seg(state, moments, quants, done, ns):
         def body(carry, i):
-            st, mom = carry
+            st, mom, qs = carry
             st, _ = block(st, i)
             w = ((done + i) >= burn_in).astype(jnp.int32)
             mom = mom.update(st.position, weight=w)
-            return (st, mom), None
+            if qs is not None:
+                qs = {
+                    p: jax.lax.cond(
+                        w > 0, lambda q: q.update(st.position),
+                        lambda q: q, q,
+                    )
+                    for p, q in qs.items()
+                }
+            return (st, mom, qs), None
 
-        (st, mom), _ = jax.lax.scan(
-            body, (state, moments), jnp.arange(ns)
+        (st, mom, qs), _ = jax.lax.scan(
+            body, (state, moments, quants), jnp.arange(ns)
         )
-        return st, mom
+        return st, mom, qs
 
     done = 0
     while done < n_steps:
         ns = min(segment_steps, n_steps - done)
-        state, moments = seg(state, moments, jnp.asarray(done, jnp.int32), ns)
+        state, moments, quants = seg(
+            state, moments, quants, jnp.asarray(done, jnp.int32), ns
+        )
         jax.block_until_ready(state.position)
         done += ns
+        if progress is not None:
+            progress(done, moments)
     return ChainResult(
         final_state=state, samples=None, infos=None, metrics=None,
-        moments=moments, quantiles=None,
+        moments=moments, quantiles=quants,
     )
 
 
