@@ -49,6 +49,14 @@ def prox_lmc_deconv(
     platform: str = "",
     wavelet_row: bool = False,  # 10th model: k5 + wavelet-l1 prior (wl1 dual)
     wavelet_levels: int = 4,
+    score_row: bool = False,  # learned-prior row: k5 + annealed score-ULA
+    score_train_steps: int = 4000,
+    score_arch: str = "unet",
+    score_class: str = "photo",
+    score_alpha: float = 1.0,
+    denoiser_sigma: float = 0.03,
+    score_burn_frac: float = 0.25,
+    segment_steps: int = 1000,
 ):
     import jax
 
@@ -249,6 +257,55 @@ def prox_lmc_deconv(
                 print_iteration_table(
                     {"f": met["f"], "g(Ax)": met["gA"], "J": met["cost"]}
                 )
+
+    if score_row and not compute_map:
+        # Learned-prior row (round-4 VERDICT item 3): annealed score-ULA
+        # with the noise-conditional score net trained on the bundled
+        # photographs (models/score.py image_class='photo') — the 4th
+        # prior column the reference's model grid leaves open
+        # (prox_lmc_deconv.py:101-122). The chain runs in [0,1] units
+        # (the net's training scale): y/255 with sigma/255 data noise is
+        # the SAME posterior as the TV rows up to the affine rescale.
+        from lmc_atomi_tpu.kernels import score_ula
+        from lmc_atomi_tpu.models.score import (
+            geometric_sigmas,
+            make_score_fn,
+            train_score_net,
+        )
+        from lmc_atomi_tpu.run.runner import run_chain_segmented
+
+        label = "M_score (k5-SCORE)"
+        t0 = time.perf_counter()
+        s_params, s_apply, _ = train_score_net(
+            jax.random.fold_in(key, 101), sigma_max=0.4,
+            sigma_min=denoiser_sigma, n_sigmas=8,
+            steps=score_train_steps, arch=score_arch,
+            image_class=score_class,
+        )
+        score = make_score_fn(s_params, s_apply)
+        sig_d = sigma / 255.0
+        l2s = L2Data.create(op=blurs[5], b=y / 255.0, sigma=1.0 / sig_d**2)
+        lips_s = 1.0 / sig_d**2
+        burn = int(score_burn_frac * n_steps)
+        ladder = geometric_sigmas(0.4, denoiser_sigma, 8, dtype)
+        anneal = jnp.repeat(ladder, max(burn // 8, 1))[:burn]
+        anneal = jnp.pad(anneal, (0, burn - anneal.shape[0]),
+                         constant_values=float(denoiser_sigma))
+        sig_sched = jnp.concatenate([
+            anneal, jnp.full((n_steps - burn,), denoiser_sigma, dtype),
+        ])
+        tau_sched = 0.5 / (lips_s + score_alpha / sig_sched**2)
+        kern_sc = score_ula(
+            l2s.grad, score, sig_sched, tau_sched, alpha=score_alpha,
+            box=(-0.2, 1.2), box_weight=denoiser_sigma**2,
+        )
+        res = run_chain_segmented(
+            kern_sc, y / 255.0, jax.random.fold_in(key, 102), n_steps,
+            burn_in=burn, segment_steps=segment_steps,
+        )
+        jax.block_until_ready(res.moments.mean)
+        timings[label] = time.perf_counter() - t0
+        results[label] = 255.0 * np.asarray(res.moments.mean)
 
     branch = "MAP" if compute_map else alg
     report = {}
