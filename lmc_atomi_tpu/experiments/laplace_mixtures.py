@@ -33,6 +33,7 @@ def lmc_laplacian_mixture(
     eval_w2: bool = True,
     w2_interval: int = 100,
     eval_w2_exact: bool = False,  # exact 10k-sample EMD at the final prefix
+    eval_w2_tail: bool = False,  # also exact EMD on the LAST k_eval samples
     platform: str = "",
 ):
     import jax
@@ -107,6 +108,21 @@ def lmc_laplacian_mixture(
                 print(f"{name}: exact W2 at {k_true} samples = "
                       f"{exact_final[name]:.4f}", file=sys.stderr)
 
+    exact_tail = {}
+    if eval_w2_exact and eval_w2_tail and k > k_true:
+        # The reference protocol above truncates to the FIRST k_eval
+        # samples (lmc_laplace.py:387-392), so its W2 is invariant in K
+        # for these non-adaptive chains. The tail eval scores the LAST
+        # k_eval draws — the converged end a longer K actually buys.
+        from lmc_atomi_tpu.eval.wasserstein import exact_w2
+
+        for name, s in samples.items():
+            exact_tail[name] = float(
+                np.sqrt(max(exact_w2(true, s[-k_true:]), 0.0))
+            )
+            print(f"{name}: exact W2 on last {k_true} samples = "
+                  f"{exact_tail[name]:.4f}", file=sys.stderr)
+
     if make_plots:
         from lmc_atomi_tpu.experiments import figures as F
 
@@ -136,6 +152,7 @@ def lmc_laplacian_mixture(
                           for m, t in timings.items()},
         "final_w2": {m: float(v[1][-1]) for m, v in curves.items()},
         **({"final_w2_exact": exact_final} if exact_final else {}),
+        **({"tail_w2_exact": exact_tail} if exact_tail else {}),
     }
     print(json.dumps(summary))
     return samples, curves, summary
