@@ -147,12 +147,13 @@ def device_iters_per_sec():
         and sep_fused_supported(blur, (N, N), dtype)
     )
 
-    def make_run(niter_tv, tv_warm):
+    def make_run(niter_tv, tv_warm, tv_solver="chambolle"):
         if fused:
             return jax.jit(
                 lambda x, k, n: run_myula_tv_fused(
                     l2, TV_WEIGHT, tau, gamma, x, k, n,
                     niter_tv=niter_tv, block=500, tv_warm=tv_warm,
+                    tv_solver=tv_solver,
                 ),
                 static_argnums=2,
             )
@@ -192,6 +193,15 @@ def device_iters_per_sec():
         print(
             f"[bench] warm5: time={dt_w:.2f}s -> {warm5:.0f} iters/s "
             f"psnr_mean={float(psnr(img, out_w.moments.mean)):.2f}",
+            file=sys.stderr,
+        )
+        # FGP-8 projected-dual prox: STRICTER accuracy than the cold-10
+        # Chambolle reference semantics (scripts/diag_tv_proj.py) at 32
+        # rolls + 8 rsqrt per prox vs 40 rolls + 10 sqrt + 10 recip
+        dt_f, out_f = timed(make_run(8, False, "fgp"))
+        print(
+            f"[bench] fgp8: time={dt_f:.2f}s -> {STEPS / dt_f:.0f} iters/s "
+            f"psnr_mean={float(psnr(img, out_f.moments.mean)):.2f}",
             file=sys.stderr,
         )
 

@@ -205,6 +205,46 @@ def _tv_prox(x, tv_gamma, masks, niter: int, step: float, pltpu,
     return (out, (py, px)) if return_dual else out
 
 
+def _tv_prox_fgp(x, tv_gamma, masks, niter: int, step: float, pltpu,
+                 p0=None, return_dual: bool = False):
+    """Projected-dual TV prox with FISTA momentum (FGP, Beck & Teboulle
+    2009), identical math to ops/tv.py::prox_tv_iso_proj(accel=True).
+
+    One ``rsqrt`` per trip where Chambolle's semi-implicit scaling spends a
+    sqrt AND a reciprocal — the VPU transcendentals are the fused step's
+    largest serial-cycle term (scripts/roofline.py) — and the momentum
+    coefficients are host floats (compile-time immediates). At
+    ``step = 1/8`` (the dual gradient's 1/L) FGP-8 beats cold Chambolle-10
+    accuracy at every tested gamma (scripts/diag_tv_proj.py), in 32 rolls
+    vs Chambolle-10's 40. ``rsqrt(0) = inf`` makes the dual-ball
+    projection exact at zero duals (``min(1, inf) = 1``).
+    """
+    from ..ops.tv import fgp_momentum
+
+    fwd_y, fwd_x, div = _grad_div_ops(x.shape, masks, pltpu)
+    xg = x / tv_gamma
+    one = jnp.asarray(1.0, x.dtype)
+
+    def ascend(ry, rx):
+        u = div(ry, rx) - xg
+        py = ry + step * fwd_y(u)
+        px = rx + step * fwd_x(u)
+        scale = jnp.minimum(one, jax.lax.rsqrt(py * py + px * px))
+        return py * scale, px * scale
+
+    zero = jnp.zeros_like(x)
+    py, px = (zero, zero) if p0 is None else p0
+    ry, rx = py, px
+    # momentum coefficients differ per trip -> Python-unrolled (niter static)
+    for c in fgp_momentum(niter):
+        qy, qx = ascend(ry, rx)
+        ry = qy + c * (qy - py)
+        rx = qx + c * (qx - px)
+        py, px = qy, qx
+    out = x - tv_gamma * div(py, px)
+    return (out, (py, px)) if return_dual else out
+
+
 def _sort5(v):
     """Sort a 5-tuple of fields elementwise (9 compare-exchange network)."""
     v = list(v)
@@ -399,7 +439,10 @@ def _p2_hbm_pass(
                 d.start()
         for d in dma_in(slot, b):
             d.wait()
-        xb = jax.lax.dynamic_slice_in_dim(x_new, b * band, band, 0)
+        # static slice: `b` is a Python int (the band loop is unrolled) and
+        # Mosaic TC has no dynamic_slice lowering — lax.slice_in_dim keeps
+        # the primitive static even inside the surrounding step scan
+        xb = jax.lax.slice_in_dim(x_new, b * band, (b + 1) * band, axis=0)
         new_h, new_n = [], []
         for j, p in enumerate(quantiles):
             qs = tuple(qh_s[slot, 5 * j + i] for i in range(5))
@@ -424,7 +467,7 @@ def _block_kernel(
     *scratch,
     taps, oy, ox, n_steps, niter_tv, tv_step, with_noise, with_stats,
     mode, niter_inner, tv_warm, quantiles, quantile_thin, chain_nx,
-    marker_hbm=False,
+    marker_hbm=False, tv_solver="chambolle",
 ):
     from jax.experimental.pallas import tpu as pltpu
 
@@ -464,6 +507,10 @@ def _block_kernel(
 
     warm_env = tv_warm and mode == "metv"
     n_q = len(quantiles)
+    if tv_solver == "fgp":
+        prox_tv, ts = _tv_prox_fgp, 0.125  # dual gradient's 1/L
+    else:
+        prox_tv, ts = _tv_prox, tv_step
 
     def one_step(i, carry, xi, do_q=True):
         # carry is a nested pytree: (x, mean, m2, tv_dual, env_dual, qstate)
@@ -487,20 +534,20 @@ def _block_kernel(
         elif mode == "metv":
             # ME-TV concave term: grad f -= lamda * (x - prox_{gamma TV}x)/gamma
             if warm_env:
-                p, env_dual = _tv_prox(
-                    x, gamma_mc, masks, niter_inner, tv_step, pltpu,
+                p, env_dual = prox_tv(
+                    x, gamma_mc, masks, niter_inner, ts, pltpu,
                     p0=env_dual, return_dual=True,
                 )
             else:
-                p = _tv_prox(x, gamma_mc, masks, niter_inner, tv_step, pltpu)
+                p = prox_tv(x, gamma_mc, masks, niter_inner, ts, pltpu)
             grad = grad - (lamda / gamma_mc) * (x - p)
         if tv_warm:
-            tvprox, tv_dual = _tv_prox(
-                x, tv_gamma, masks, niter_tv, tv_step, pltpu,
+            tvprox, tv_dual = prox_tv(
+                x, tv_gamma, masks, niter_tv, ts, pltpu,
                 p0=tv_dual, return_dual=True,
             )
         else:
-            tvprox = _tv_prox(x, tv_gamma, masks, niter_tv, tv_step, pltpu)
+            tvprox = prox_tv(x, tv_gamma, masks, niter_tv, ts, pltpu)
         x_new = (1.0 - tau / gamma) * x - tau * grad + (tau / gamma) * tvprox
         if with_noise:
             x_new = x_new + noise_amp * xi
@@ -643,6 +690,7 @@ def _block_kernel(
         "taps", "oy", "ox", "n_steps", "niter_tv", "tv_step",
         "with_noise", "with_stats", "interpret", "mode", "niter_inner",
         "tv_warm", "quantiles", "quantile_thin", "chain_nx", "marker_hbm",
+        "tv_solver",
     ),
 )
 def myula_tv_block_update(
@@ -652,6 +700,7 @@ def myula_tv_block_update(
     interpret: bool = False, mode: str = "tv", niter_inner: int = 10,
     tv_warm: bool = False, quantiles: Tuple[float, ...] = (),
     quantile_thin: int = 1, chain_nx: int = 0, marker_hbm: bool = False,
+    tv_solver: str = "chambolle",
 ):
     """``n_steps`` fused MYULA steps (+ optional in-kernel Welford / P^2).
 
@@ -686,7 +735,7 @@ def myula_tv_block_update(
         tv_step=tv_step, with_noise=with_noise, with_stats=with_stats,
         mode=mode, niter_inner=niter_inner, tv_warm=tv_warm,
         quantiles=quantiles, quantile_thin=quantile_thin,
-        chain_nx=chain_nx, marker_hbm=marker_hbm,
+        chain_nx=chain_nx, marker_hbm=marker_hbm, tv_solver=tv_solver,
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -882,6 +931,7 @@ def run_myula_tv_fused(
     step_offset: int = 0,
     chain_nx: int = 0,
     marker_hbm: Optional[bool] = None,
+    tv_solver: str = "chambolle",
 ):
     """Block-fused MYULA chain: lax.scan over blocks of fused in-VMEM steps.
 
@@ -917,6 +967,13 @@ def run_myula_tv_fused(
     accuracy/semantics trade the caller opts into; the reference runs
     cold 10-trip proxes (prox_lmc_deconv.py:122) and the deconvolution
     experiment keeps that default.
+
+    ``tv_solver="fgp"`` swaps Chambolle's semi-implicit dual iteration for
+    projected dual ascent with FISTA momentum (same minimizer, cheaper
+    trips): FGP-8 beats cold Chambolle-10 accuracy at every tested gamma
+    (scripts/diag_tv_proj.py) with 32 rolls + 8 rsqrt vs 40 rolls +
+    10 sqrt + 10 reciprocals — pass ``niter_tv=8`` with it. Default stays
+    "chambolle" (the reference's solver family, pyproximal TV).
     """
     taps, (oy, ox), atbs = _fused_params(l2, tv_sigma, tau, gamma, niter_tv)
     mode, lamda, gamma_mc, niter_inner = _fused_mode(l2)
@@ -988,7 +1045,7 @@ def run_myula_tv_fused(
             interpret=interpret, mode=mode, niter_inner=niter_inner,
             tv_warm=tv_warm, quantiles=quantiles,
             quantile_thin=quantile_thin, chain_nx=chain_nx,
-            marker_hbm=bool(marker_hbm),
+            marker_hbm=bool(marker_hbm), tv_solver=tv_solver,
         )
         return (x, mean, m2, qh, qn), None
 

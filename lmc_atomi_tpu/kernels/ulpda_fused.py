@@ -61,6 +61,7 @@ from lmc_atomi_tpu.kernels.myula_fused import (
     _key_seed,
     _sep_gram,
     _tv_prox,
+    _tv_prox_fgp,
 )
 from lmc_atomi_tpu.ops.tv_pallas import _masks
 
@@ -144,6 +145,7 @@ def _ulpda_kernel(
     xo_ref, pyo_ref, pxo_ref, xbo_ref, meano_ref, m2o_ref,
     *, taps, oy, ox, lam, n_steps, niter_solve, tv_step, gfirst, dual,
     mode, niter_inner, with_noise, with_stats, env_warm, levels, chain_nx,
+    tv_solver="chambolle",
 ):
     from jax.experimental.pallas import tpu as pltpu
 
@@ -166,6 +168,10 @@ def _ulpda_kernel(
     masks = _masks(x.shape, x.dtype, chain_nx)
     dtype = x.dtype
     fwd_y, fwd_x, div = _grad_div_ops(x.shape, masks, pltpu)
+    if tv_solver == "fgp":
+        prox_tv, ts_tv = _tv_prox_fgp, 0.125  # dual gradient's 1/L
+    else:
+        prox_tv, ts_tv = _tv_prox, tv_step
 
     if with_noise:
         pltpu.prng_seed(seed_ref[0, 0], seed_ref[0, 1])
@@ -226,16 +232,16 @@ def _ulpda_kernel(
             v = v - tau * lamda * div(clamp * gy, clamp * gx)
         elif mode == "metv":
             if env_warm:
-                # warm-start the Moreau-envelope Chambolle dual across steps
+                # warm-start the Moreau-envelope dual across steps
                 # (the prox argument moves by O(noise) per step, so the
                 # previous dual is a near-fixed-point — same trick as
                 # myula_fused's warm_env)
-                p, env_dual = _tv_prox(
-                    v, gamma_mc, masks, niter_inner, tv_step, pltpu,
+                p, env_dual = prox_tv(
+                    v, gamma_mc, masks, niter_inner, ts_tv, pltpu,
                     p0=env_dual, return_dual=True,
                 )
             else:
-                p = _tv_prox(v, gamma_mc, masks, niter_inner, tv_step, pltpu)
+                p = prox_tv(v, gamma_mc, masks, niter_inner, ts_tv, pltpu)
             v = v + (tau * lamda / gamma_mc) * (v - p)
         rhs = v + ts * atb
         u = _chebyshev_gram_solve(
@@ -315,7 +321,7 @@ def _ulpda_kernel(
     static_argnames=(
         "taps", "oy", "ox", "lam", "n_steps", "niter_solve", "tv_step",
         "gfirst", "dual", "mode", "niter_inner", "with_noise", "with_stats",
-        "interpret", "env_warm", "levels", "chain_nx",
+        "interpret", "env_warm", "levels", "chain_nx", "tv_solver",
     ),
 )
 def ulpda_block_update(
@@ -324,6 +330,7 @@ def ulpda_block_update(
     niter_solve: int = 6,
     tv_step: float = 0.25, gfirst: bool = False, dual: str = "l21",
     mode: str = "tv", niter_inner: int = 10, with_noise: bool = True,
+    tv_solver: str = "chambolle",
     with_stats: bool = True, interpret: bool = False,
     env_warm: bool = False, levels: int = 3, chain_nx: int = 0,
 ):
@@ -347,7 +354,7 @@ def ulpda_block_update(
         tv_step=tv_step, gfirst=gfirst, dual=dual, mode=mode,
         niter_inner=niter_inner, with_noise=with_noise,
         with_stats=with_stats, env_warm=env_warm and mode == "metv",
-        levels=levels, chain_nx=chain_nx,
+        levels=levels, chain_nx=chain_nx, tv_solver=tv_solver,
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -497,6 +504,7 @@ def run_ulpda_fused(
     env_warm: bool = False,
     niter_inner: Optional[int] = None,
     chain_nx: int = 0,
+    tv_solver: str = "chambolle",
 ):
     """Block-fused ULPDA chain: lax.scan over blocks of fused in-VMEM steps
     with in-kernel Welford posterior moments (cf. run_myula_tv_fused).
@@ -554,7 +562,7 @@ def run_ulpda_fused(
             gfirst=gfirst, dual=dual, mode=mode, niter_inner=niter_inner,
             with_noise=noise_scale != 0.0, with_stats=True,
             interpret=interpret, env_warm=env_warm, levels=levels,
-            chain_nx=chain_nx,
+            chain_nx=chain_nx, tv_solver=tv_solver,
         )
         return (x, py, px, xbar, mean, m2), None
 

@@ -53,6 +53,19 @@ def tv_prox_ops(niter):
     return alu, perm, trans
 
 
+def tv_prox_fgp_ops(niter):
+    """FGP projected-dual trips (myula_fused.py::_tv_prox_fgp).
+
+    Per trip: div (2 perm + 5 alu), u=div-xg (1), fwd_y/fwd_x (1 perm +
+    2 alu each), p-updates (4 alu), s=py^2+px^2 (3), rsqrt (1 trans),
+    min (1), scale muls (2), momentum (6 alu: 2x q + c*(q-p)).
+    """
+    alu = niter * (5 + 1 + 4 + 4 + 3 + 1 + 2 + 6) + 1 + 2
+    perm = niter * 4 + 2
+    trans = niter * 1  # one rsqrt
+    return alu, perm, trans
+
+
 def sep_gram_ops(ktaps=9, rank=1):
     """Separable wrap conv (myula_fused.py::_sep_gram), (2k-1) taps/axis."""
     alu = rank * 2 * (2 * ktaps - 1)  # mul+add per tap, both axes
@@ -61,9 +74,10 @@ def sep_gram_ops(ktaps=9, rank=1):
 
 
 def step_ops(niter_tv=10, with_noise=True, with_stats=True, n_q=0,
-             thin=1):
+             thin=1, tv_solver="chambolle"):
     a, p, t = sep_gram_ops()
-    a2, p2, t2 = tv_prox_ops(niter_tv)
+    prox_fn = tv_prox_fgp_ops if tv_solver == "fgp" else tv_prox_ops
+    a2, p2, t2 = prox_fn(niter_tv)
     a, p, t = a + a2, p + p2, t + t2
     a += 2  # grad = gscale*gram - atbs
     a += 5  # convex-combination x update
@@ -117,11 +131,16 @@ def main():
         "warm5": float(os.environ.get("M_WARM5", 33441)),
         "ci_thin1": float(os.environ.get("M_CI", 10546)),
         "packed64": float(os.environ.get("M_PACKED64", 645485 / 8)),
+        "fgp8": float(os.environ.get("M_FGP8", 0)),
     }
     rows = [
         report("512^2 TV cold-10 (headline)", 512 * 512,
                dict(niter_tv=10), m["cold10"]),
         report("512^2 TV warm-5", 512 * 512, dict(niter_tv=5), m["warm5"]),
+        # FGP-8: stricter-than-cold-10 accuracy (scripts/diag_tv_proj.py),
+        # 8 rsqrt vs 10 sqrt + 10 recip, 32 vs 40 prox rolls
+        report("512^2 TV FGP-8 (accuracy >= cold-10)", 512 * 512,
+               dict(niter_tv=8, tv_solver="fgp"), m["fgp8"]),
         report("512^2 TV cold-10 + 95% CI (thin=1)", 512 * 512,
                dict(niter_tv=10, n_q=2), m["ci_thin1"]),
         # the packed config runs 4 kernel instances (2 chains each,

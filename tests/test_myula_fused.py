@@ -125,6 +125,56 @@ class TestDeterministicParity:
         )
 
 
+class TestFgpSolver:
+    """tv_solver="fgp": the fused projected-dual FGP prox must equal the
+    unfused ops/tv.py::prox_tv_iso_proj recursion step-for-step (noise
+    off, interpret mode), at the production FGP-8 trip count."""
+
+    def test_deterministic_parity_vs_unfused_proj(self):
+        from lmc_atomi_tpu.ops.tv import prox_tv_iso_proj
+
+        img, blur, y, l2, tau, gamma = _problem()
+        tvg = 0.3 * gamma
+        x_ref = jnp.zeros_like(img)
+        for _ in range(6):
+            p = prox_tv_iso_proj(x_ref, tvg, niter=8, step=0.125)
+            x_ref = (
+                (1 - tau / gamma) * x_ref
+                - tau * l2.grad(x_ref)
+                + (tau / gamma) * p
+            )
+        res = run_myula_tv_fused(
+            l2, 0.3, tau, gamma, jnp.zeros_like(img), jax.random.PRNGKey(0),
+            6, block=3, noise_scale=0.0, niter_tv=8, tv_solver="fgp",
+            interpret=not ON_TPU,
+        )
+        scale = float(jnp.abs(x_ref).max())
+        np.testing.assert_allclose(
+            np.asarray(res.final_state.position), np.asarray(x_ref),
+            atol=3e-5 * max(scale, 1.0),
+        )
+
+    def test_fgp8_posterior_step_close_to_chambolle10(self):
+        """One FGP-8 MYULA step stays within prox-error distance of the
+        cold Chambolle-10 step (same argument, solvers agree to ~relerr)."""
+        img, blur, y, l2, tau, gamma = _problem()
+        x0 = jnp.asarray(
+            np.random.default_rng(7).normal(size=img.shape).astype(np.float32)
+        )
+        a = run_myula_tv_fused(
+            l2, 0.3, tau, gamma, x0, jax.random.PRNGKey(0), 1, block=1,
+            noise_scale=0.0, niter_tv=8, tv_solver="fgp",
+            interpret=not ON_TPU,
+        ).final_state.position
+        b = run_myula_tv_fused(
+            l2, 0.3, tau, gamma, x0, jax.random.PRNGKey(0), 1, block=1,
+            noise_scale=0.0, niter_tv=10, interpret=not ON_TPU,
+        ).final_state.position
+        # the two one-step states differ only by (tau/gamma) * prox gap
+        gap = float(jnp.linalg.norm(a - b)) / float(jnp.linalg.norm(b))
+        assert gap < 2e-3, gap
+
+
 class TestWarmTV:
     """tv_warm carries the Chambolle dual across steps: the fused chain must
     match a NumPy replica of the warm recursion (noise off), and warm-5 must

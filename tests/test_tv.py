@@ -44,6 +44,38 @@ def test_prox_tv_iso_optimality():
     assert gap < 5e-3, gap
 
 
+def test_prox_tv_iso_proj_matches_chambolle_minimizer():
+    """Projected-dual FGP converges to the SAME minimizer as Chambolle
+    (they solve the identical dual program), and at the production trip
+    counts FGP-8 is at least as accurate as cold Chambolle-10."""
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(32, 32)).astype(np.float32)) * 1.5
+    for gamma in (0.05, 0.3):
+        ref = T.prox_tv_iso(x, gamma, niter=800)
+        fgp = T.prox_tv_iso_proj(x, gamma, niter=800)
+        np.testing.assert_allclose(
+            np.asarray(fgp), np.asarray(ref), rtol=0, atol=1e-3
+        )
+        scale = float(jnp.linalg.norm(ref - x))
+        e_fgp8 = float(jnp.linalg.norm(
+            T.prox_tv_iso_proj(x, gamma, niter=8) - ref)) / scale
+        e_ch10 = float(jnp.linalg.norm(
+            T.prox_tv_iso(x, gamma, niter=10) - ref)) / scale
+        assert e_fgp8 <= e_ch10 * 1.05, (gamma, e_fgp8, e_ch10)
+
+
+def test_fgp_momentum_coefficients():
+    # t_1 = 1, t_{k+1} = (1 + sqrt(1+4 t_k^2))/2; c_k = (t_k - 1)/t_{k+1}
+    cs = T.fgp_momentum(3)
+    t1 = 1.0
+    t2 = 0.5 * (1 + np.sqrt(5.0))
+    t3 = 0.5 * (1 + np.sqrt(1 + 4 * t2 * t2))
+    t4 = 0.5 * (1 + np.sqrt(1 + 4 * t3 * t3))
+    np.testing.assert_allclose(
+        cs, [(t1 - 1) / t2, (t2 - 1) / t3, (t3 - 1) / t4], rtol=1e-12
+    )
+
+
 def test_prox_tv_iso_constant_image_fixed_point():
     x = jnp.full((8, 8), 3.7, jnp.float64)
     y = T.prox_tv_iso(x, 0.5, niter=50)

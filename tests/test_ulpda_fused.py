@@ -186,6 +186,32 @@ class TestDeterministicParity:
         err_warm = float(jnp.abs(warm5 - truth).max())
         assert err_warm < max(err_cold, 1e-4), (err_warm, err_cold)
 
+    def test_fgp_env_solver_tracks_converged_envelope(self):
+        """tv_solver="fgp" on the ME-TV envelope prox: FGP-8 must track the
+        converged-envelope chain at least as closely as cold Chambolle-10
+        (it is a strictly more accurate solver per diag_tv_proj.py), i.e.
+        the fused plumbing carries the projected-dual iteration intact."""
+        img, blur, y, sigma, tau, mu = _problem()
+        proxf, proxg = _terms("metv", blur, y, sigma)
+        a_op = Gradient2D()
+        x0 = y
+        kw = dict(block=16, noise_scale=0.0, niter_solve=20,
+                  interpret=not ON_TPU)
+        truth = run_ulpda_fused(
+            proxf, proxg, a_op, tau, mu, x0, jax.random.PRNGKey(3), 16,
+            niter_inner=100, **kw
+        ).final_state.position
+        cold10 = run_ulpda_fused(
+            proxf, proxg, a_op, tau, mu, x0, jax.random.PRNGKey(3), 16, **kw
+        ).final_state.position
+        fgp8 = run_ulpda_fused(
+            proxf, proxg, a_op, tau, mu, x0, jax.random.PRNGKey(3), 16,
+            tv_solver="fgp", niter_inner=8, **kw
+        ).final_state.position
+        err_cold = float(jnp.abs(cold10 - truth).max())
+        err_fgp = float(jnp.abs(fgp8 - truth).max())
+        assert err_fgp < max(err_cold * 1.1, 1e-4), (err_fgp, err_cold)
+
     def test_cg_solve_quality_at_production_trips(self):
         """At the production trip count the Richardson gram solve matches the
         exact spectral solve to f32 accuracy after one step."""
