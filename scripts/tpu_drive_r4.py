@@ -34,6 +34,7 @@ STAGES = [
     ("bench", 900, [PY, "bench.py"]),
     ("ci1024", 2400, [PY, "scripts/bench_ci_1024.py"]),
     ("ulpda_frontier", 3000, [PY, "scripts/bench_ulpda_frontier.py"]),
+    ("fgp_frontier", 3000, [PY, "scripts/bench_fgp_frontier.py"]),
     ("mesh_stochastic", 600, [PY, "scripts/mesh_stochastic_probe.py"]),
     ("deconv_score_einstein", 3600, [
         PY, "-m", "lmc_atomi_tpu.experiments.deconv", "--size", "512",
