@@ -54,20 +54,27 @@ def main(n: int = 1024, steps: int = 20000, burn: int = 2000):
             )
         )
 
-    runs = (
-        ("fused, moments only", jax.jit(
+    all_runs = {
+        "moments": ("fused, moments only", jax.jit(
             lambda x, k: run_myula_tv_fused(
                 l2, 0.3, tau, gamma, x, k, steps, block=500, burn_in=burn,
             ))),
-        ("fused + 95% CI, HBM-paged markers, thin=16", fused_ci(16)),
-        ("fused + 95% CI, HBM-paged markers, thin=8", fused_ci(8)),
-        ("fused + 95% CI, HBM-paged markers, thin=1", fused_ci(1)),
-        ("unfused XLA, moments + 95% CI (P^2 in HBM)", jax.jit(
+        "thin32": ("fused + 95% CI, HBM-paged markers, thin=32",
+                   fused_ci(32)),
+        "thin16": ("fused + 95% CI, HBM-paged markers, thin=16",
+                   fused_ci(16)),
+        "thin8": ("fused + 95% CI, HBM-paged markers, thin=8", fused_ci(8)),
+        "thin1": ("fused + 95% CI, HBM-paged markers, thin=1", fused_ci(1)),
+        "unfused": ("unfused XLA, moments + 95% CI (P^2 in HBM)", jax.jit(
             lambda x, k: run_chain(
                 kern, x, k, steps, collect="stats",
                 quantile_ps=(0.025, 0.975), burn_in=burn,
             ))),
-    )
+    }
+    # row selection: one Mosaic compile of this kernel takes many minutes on
+    # the sandboxed vCPU, so a flap-killed pass must be resumable row-by-row
+    want = (sys.argv[1].split(",") if len(sys.argv) > 1 else list(all_runs))
+    runs = [all_runs[k] for k in want]
     for label, run in runs:
         out = run(jnp.zeros_like(img), jax.random.PRNGKey(1))
         jax.block_until_ready(out.moments.mean)

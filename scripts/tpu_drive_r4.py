@@ -32,7 +32,12 @@ MAX_REAL_FAILURES = 2
 # (name, timeout_s, argv) — ordered by value-per-minute; long stages last
 STAGES = [
     ("bench", 900, [PY, "bench.py"]),
-    ("ci1024", 2400, [PY, "scripts/bench_ci_1024.py"]),
+    # moments + thin16 rows landed 2026-08-19 (5455 / 4964 iters/s, log
+    # ci1024.log); remaining rows run one compile at a time so a tunnel
+    # flap can't discard finished compiles
+    ("ci1024_thin32", 3000, [PY, "scripts/bench_ci_1024.py", "thin32"]),
+    ("ci1024_rest", 3600, [PY, "scripts/bench_ci_1024.py",
+                           "thin8,thin1,unfused"]),
     ("ulpda_frontier", 3000, [PY, "scripts/bench_ulpda_frontier.py"]),
     ("fgp_frontier", 3000, [PY, "scripts/bench_fgp_frontier.py"]),
     ("mesh_stochastic", 600, [PY, "scripts/mesh_stochastic_probe.py"]),
