@@ -43,8 +43,26 @@ def main(n: int = 512, steps: int = 20000, burn: int = 2000):
     tau = 0.95 * sig**2
     g = L21Norm(sigma=0.3)
     rows = []
+    # each config is its own many-minute Mosaic compile, so finished rows
+    # persist to a JSONL ledger and a flap-killed pass resumes row-by-row
+    ledger = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "..", "fig", "r4_measurements",
+                          "ulpda_frontier_rows.jsonl")
+    done = set()
+    if jax.default_backend() != "tpu":
+        ledger = os.devnull  # CPU smoke rows must not mask chip rows
+    elif os.path.exists(ledger):
+        with open(ledger) as f:
+            for line in f:
+                row = json.loads(line)
+                rows.append(row)
+                done.add(row["config"])
+    want = sys.argv[1].split(",") if len(sys.argv) > 1 else None
 
     def run_cfg(label, proxf, **kw):
+        if label in done or (want is not None
+                             and not any(w in label for w in want)):
+            return
         interp = jax.default_backend() != "tpu"  # CPU smoke runs
         f = jax.jit(
             lambda x, k, ns: run_ulpda_fused(
@@ -63,9 +81,13 @@ def main(n: int = 512, steps: int = 20000, burn: int = 2000):
         out = f(x0, key, steps)
         jax.block_until_ready(out.moments.mean)
         ips = steps / (time.perf_counter() - t0)
-        rows.append({"config": label, "iters_per_sec": round(ips, 1),
-                     "psnr_mean": round(p, 3)})
-        print(f"{label:34s} {ips:8.0f} iters/s  psnr={p:.3f}")
+        row = {"config": label, "iters_per_sec": round(ips, 1),
+               "psnr_mean": round(p, 3)}
+        rows.append(row)
+        os.makedirs(os.path.dirname(ledger), exist_ok=True)
+        with open(ledger, "a") as f:
+            f.write(json.dumps(row) + "\n")
+        print(f"{label:34s} {ips:8.0f} iters/s  psnr={p:.3f}", flush=True)
 
     # TV dual: Chebyshev trip sweep (niter_solve)
     for k in (8, 6, 5, 4, 3, 2):

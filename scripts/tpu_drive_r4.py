@@ -38,6 +38,10 @@ STAGES = [
     ("ci1024_thin32", 3000, [PY, "scripts/bench_ci_1024.py", "thin32"]),
     ("ci1024_rest", 3600, [PY, "scripts/bench_ci_1024.py",
                            "thin8,thin1,unfused"]),
+    # frontier rows persist to ulpda_frontier_rows.jsonl, so the two
+    # chunks resume row-by-row after a flap; final chunk prints the JSON
+    ("ulpda_frontier_tv", 3000,
+     [PY, "scripts/bench_ulpda_frontier.py", "Chebyshev"]),
     ("ulpda_frontier", 3000, [PY, "scripts/bench_ulpda_frontier.py"]),
     ("fgp_frontier", 3000, [PY, "scripts/bench_fgp_frontier.py"]),
     ("mesh_stochastic", 600, [PY, "scripts/mesh_stochastic_probe.py"]),
@@ -165,7 +169,10 @@ def main():
                 break
             time.sleep(120)
             continue
-        name, tmo, argv = pending[0]
+        # fewest-attempts-first (stable): a stage the tunnel keeps killing
+        # can't starve everything behind it
+        name, tmo, argv = min(
+            pending, key=lambda s: led.get(s[0], {}).get("attempts", 0))
         res = run_stage(name, tmo, argv)
         ent = led.setdefault(name, {"attempts": 0})
         ent["attempts"] += 1
