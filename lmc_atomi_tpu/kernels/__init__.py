@@ -13,6 +13,7 @@ from lmc_atomi_tpu.kernels.myula_fused import (
     run_myula_tv_fused_packed,
     sep_fused_supported,
 )
+from lmc_atomi_tpu.kernels.myula_tiled import run_myula_tv_tiled
 from lmc_atomi_tpu.kernels.wavelet_fused import (
     run_myula_wavelet_fused,
     run_ulpda_wavelet_fused,
@@ -78,6 +79,7 @@ __all__ = [
     "myula_imaging_sep_fused",
     "run_myula_tv_fused",
     "run_myula_tv_fused_packed",
+    "run_myula_tv_tiled",
     "run_myula_wavelet_fused",
     "run_ulpda_wavelet_fused",
     "sep_fused_supported",

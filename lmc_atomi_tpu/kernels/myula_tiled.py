@@ -1,0 +1,384 @@
+"""Row-band tiled fused MYULA TV: the fused design past the whole-image
+VMEM ceiling.
+
+The whole-image kernel (kernels/myula_fused.py) holds x plus ~7 live
+temporaries in VMEM, which caps it near 1024^2 f32 (the temporaries are
+the budget, not x itself: 12 fields x 16 MiB > the 128 MiB core). This
+variant computes each sampling step in ROW BANDS so the temporaries are
+tile-sized, keeping only the chain state resident:
+
+- ``x`` stays in VMEM twice (the evolving sample + a parity partner
+  scratch): band ``b``'s stencils need band ``b +/- 1``'s PREVIOUS-step
+  rows, so steps alternate A->B, B->A — a read/write hazard a parity
+  buffer removes outright. 2 x 16 MiB at 2048^2.
+- ``sigma A^T b`` stays resident (read-only, 16 MiB).
+- The Welford mean/M2 accumulators live in HBM and stream through VMEM
+  in double-buffered row bands per step (the DMA idiom of
+  myula_fused._p2_hbm_pass): ~64 MiB/step of HBM traffic against ~0.5 ms
+  of VPU work at 2048^2 — fully overlapped.
+
+Tiles carry a ``halo`` of neighbour rows on each side so the band
+interior is EXACT: the separable gram (radius ``oy``) and each TV dual
+trip propagate information one row per application, so
+``halo >= max(niter_tv + 1, oy)`` makes the tile-edge wrap contamination
+(pltpu.roll wraps the TILE) die out before it reaches the interior.
+Halos are read with image-periodic wrap — correct for the circulant blur
+gram; the TV prox gets per-band masks that kill the dual rows outside
+the real image, reproducing the whole-image Neumann boundary exactly
+(a noise-free tiled chain matches the whole-image kernel bit-for-bit in
+f32 tolerance; tests/test_myula_tiled.py).
+
+Same sampling semantics as ``run_myula_tv_fused`` (cold per-step TV
+prox, in-kernel Welford with burn-in masking, on-core Box-Muller noise);
+plain-TV mode only. Reference anchor: the MYULA iteration of
+/root/reference/algs.py:477-587 at 4x the reference's maximum problem
+area (prox_lmc_deconv.py:52 stops at 512^2).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from lmc_atomi_tpu.core.random import as_key, step_key
+from lmc_atomi_tpu.core.state import SamplerState
+from lmc_atomi_tpu.core.stats import RunningMoments
+from lmc_atomi_tpu.kernels.myula_fused import (
+    FusedChainResult,
+    _box_muller2,
+    _fused_params,
+    _key_seed,
+    _pack_scal_f,
+    _tv_prox,
+    _tv_prox_fgp,
+    _sep_gram,
+    _VMEM_LIMIT_BYTES,
+)
+
+__all__ = ["myula_tv_tiled_update", "run_myula_tv_tiled", "pick_band"]
+
+
+def pick_band(ny: int, halo: int) -> int:
+    """Largest power-of-two band <= 512 dividing ``ny`` with >= 2 bands
+    and a tile (band + 2 halo) no taller than the image."""
+    band = 512
+    while band > 8 and (ny % band or ny // band < 2 or band + 2 * halo > ny):
+        band //= 2
+    return band
+
+
+def _round8(v: int) -> int:
+    return (v + 7) // 8 * 8
+
+
+def _read_tile(ref, b: int, band: int, halo: int, ny: int, pl):
+    """Rows ``[b*band - halo, (b+1)*band + halo)`` of ``ref``, wrapping
+    periodically at the image edges (static slices: ``b`` is unrolled)."""
+    lo = b * band - halo
+    tile = band + 2 * halo
+    if lo < 0:
+        segs = [(ny + lo, -lo), (0, tile + lo)]
+    elif lo + tile > ny:
+        segs = [(lo, ny - lo), (0, lo + tile - ny)]
+    else:
+        segs = [(lo, tile)]
+    parts = [ref[pl.ds(s, n), :] for s, n in segs]
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+
+
+def _band_masks(b: int, n_bands: int, band: int, halo: int, nx: int, dtype):
+    """Forward-difference masks for a tile, in TILE coordinates.
+
+    Interior bands: every tile row is a real image row (the image's last
+    row can never fall inside an interior band's halo while halo < band),
+    so only the column mask applies. Band 0's top halo and the last
+    band's bottom halo hold WRAPPED rows that do not exist for the
+    Neumann TV boundary: masking their duals to zero reproduces the
+    whole-image ``div`` exactly (row 0 reads a zeroed neighbour, row
+    ny-1's forward difference is zeroed)."""
+    tile = band + 2 * halo
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile, nx), 1)
+    mx = (col < nx - 1).astype(dtype)
+    if b == 0 or b == n_bands - 1:
+        row = jax.lax.broadcasted_iota(jnp.int32, (tile, nx), 0)
+        if b == 0:
+            my = (row >= halo).astype(dtype)
+        else:
+            my = (row < halo + band - 1).astype(dtype)
+    else:
+        my = jnp.ones((tile, nx), dtype)
+    return my, mx
+
+
+def _tiled_kernel(
+    x_ref, atbs_ref, mean_ref, m2_ref, seed_ref, scal_ref, int_ref,
+    xo_ref, meano_ref, m2o_ref,
+    xs_ref, mean_s, m2_s, sems,
+    *, taps, oy, ox, n_steps, niter_tv, tv_step, band, halo,
+    with_noise, tv_solver,
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ny, nx = x_ref.shape
+    n_bands = ny // band
+    tau = scal_ref[0]
+    gamma = scal_ref[1]
+    tv_gamma = scal_ref[2]
+    noise_scale = scal_ref[3]
+    gscale = scal_ref[4]
+    step0 = int_ref[0]
+    burn = int_ref[1]
+    cnt0 = int_ref[2]
+    dtype = x_ref.dtype
+
+    # prologue: land the incoming state in the output buffers — all
+    # further reads and read-modify-writes go through the outputs (an
+    # input ref is not guaranteed to reflect writes to its aliased
+    # output, and mean/m2 are NOT aliased)
+    xo_ref[:] = x_ref[:]
+    init_m = pltpu.make_async_copy(mean_ref, meano_ref, sems.at[0, 0])
+    init_v = pltpu.make_async_copy(m2_ref, m2o_ref, sems.at[0, 1])
+    init_m.start()
+    init_v.start()
+    init_m.wait()
+    init_v.wait()
+
+    if with_noise:
+        pltpu.prng_seed(seed_ref[0, 0], seed_ref[0, 1])
+    noise_amp = noise_scale * jnp.sqrt(2.0 * tau)
+
+    if tv_solver == "fgp":
+        prox_tv, ts = _tv_prox_fgp, 0.125
+    else:
+        prox_tv, ts = _tv_prox, tv_step
+
+    def dma_in(slot, b):
+        return (
+            pltpu.make_async_copy(
+                meano_ref.at[pl.ds(b * band, band)], mean_s.at[slot],
+                sems.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                m2o_ref.at[pl.ds(b * band, band)], m2_s.at[slot],
+                sems.at[slot, 1],
+            ),
+        )
+
+    def dma_out(slot, b):
+        return (
+            pltpu.make_async_copy(
+                mean_s.at[slot], meano_ref.at[pl.ds(b * band, band)],
+                sems.at[slot, 2],
+            ),
+            pltpu.make_async_copy(
+                m2_s.at[slot], m2o_ref.at[pl.ds(b * band, band)],
+                sems.at[slot, 3],
+            ),
+        )
+
+    def one_step(g, src_ref, dst_ref):
+        # Welford weight/count for global step g (same recurrence as
+        # myula_fused._block_kernel / core.stats.RunningMoments)
+        w = (g >= burn).astype(dtype)
+        n_new = cnt0 + jnp.maximum(g + 1 - jnp.maximum(burn, step0), 0)
+        denom = jnp.maximum(n_new, 1).astype(dtype)
+
+        for d in dma_in(0, 0):
+            d.start()
+        for b in range(n_bands):
+            slot = b % 2
+            nxt = (b + 1) % 2
+            if b + 1 < n_bands:
+                if b >= 1:
+                    # slot `nxt` still holds band b-1's outbound copy
+                    for d in dma_out(nxt, b - 1):
+                        d.wait()
+                for d in dma_in(nxt, b + 1):
+                    d.start()
+            xt = _read_tile(src_ref, b, band, halo, ny, pl)
+            masks = _band_masks(b, n_bands, band, halo, nx, dtype)
+            grad = gscale * _sep_gram(xt, taps, oy, ox, pltpu)
+            tvp = prox_tv(xt, tv_gamma, masks, niter_tv, ts, pltpu)
+            upd = (1.0 - tau / gamma) * xt - tau * grad + (tau / gamma) * tvp
+            x_new = (
+                jax.lax.slice_in_dim(upd, halo, halo + band, axis=0)
+                + tau * atbs_ref[pl.ds(b * band, band), :]
+            )
+            if with_noise:
+                z1, z2 = _box_muller2((band // 2, nx), dtype, pltpu)
+                x_new = x_new + noise_amp * jnp.concatenate([z1, z2], 0)
+            dst_ref[pl.ds(b * band, band), :] = x_new
+            for d in dma_in(slot, b):
+                d.wait()
+            delta = x_new - mean_s[slot]
+            mean_b = mean_s[slot] + w * delta / denom
+            mean_s[slot] = mean_b
+            m2_s[slot] = m2_s[slot] + w * delta * (x_new - mean_b)
+            for d in dma_out(slot, b):
+                d.start()
+        for b in (n_bands - 2, n_bands - 1):
+            if b >= 0:
+                # drain before the next step re-reads the same HBM rows
+                for d in dma_out(b % 2, b):
+                    d.wait()
+
+    def pair_body(j, c):
+        g = step0 + 2 * j
+        one_step(g, xo_ref, xs_ref)
+        one_step(g + 1, xs_ref, xo_ref)
+        return c
+
+    jax.lax.fori_loop(0, n_steps // 2, pair_body, jnp.int32(0))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "taps", "oy", "ox", "n_steps", "niter_tv", "tv_step", "band",
+        "halo", "with_noise", "tv_solver", "interpret",
+    ),
+)
+def myula_tv_tiled_update(
+    x, atbs, mean, m2, seed, scal_f, scal_i, *,
+    taps, oy: int, ox: int, n_steps: int, niter_tv: int = 10,
+    tv_step: float = 0.25, band: int, halo: int,
+    with_noise: bool = True, tv_solver: str = "chambolle",
+    interpret: bool = False,
+):
+    """``n_steps`` (even) tiled fused MYULA TV steps + in-kernel Welford.
+
+    ``atbs = sigma * A^T b`` exactly as for the whole-image kernel; the
+    data gradient is assembled per band as
+    ``gscale * gram(x) - atbs``. Returns ``(x', mean', m2')``.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ny, nx = x.shape
+    if n_steps % 2:
+        raise ValueError("tiled kernel runs steps in parity pairs: "
+                         f"n_steps={n_steps} must be even")
+    if ny % band or ny // band < 2:
+        raise ValueError(f"band={band} must divide ny={ny} with >= 2 bands")
+    if band % 2 or band % 8:
+        raise ValueError(f"band={band} must be a multiple of 8")
+    if halo % 8 or halo < max(niter_tv + 1, oy):
+        raise ValueError(
+            f"halo={halo} must be a multiple of 8 and >= "
+            f"max(niter_tv + 1, oy) = {max(niter_tv + 1, oy)}"
+        )
+
+    seed_tile = jnp.zeros((1, 128), jnp.int32)
+    seed_tile = seed_tile.at[0, :2].set(jnp.asarray(seed, jnp.int32))
+
+    kern = functools.partial(
+        _tiled_kernel,
+        taps=taps, oy=oy, ox=ox, n_steps=n_steps, niter_tv=niter_tv,
+        tv_step=tv_step, band=band, halo=halo, with_noise=with_noise,
+        tv_solver=tv_solver,
+    )
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
+    return pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+        ),
+        in_specs=[vmem, vmem, hbm, hbm, vmem, smem, smem],
+        out_specs=(vmem, hbm, hbm),
+        input_output_aliases={0: 0},
+        scratch_shapes=[
+            pltpu.VMEM((ny, nx), x.dtype),           # parity partner
+            pltpu.VMEM((2, band, nx), x.dtype),      # mean band slots
+            pltpu.VMEM((2, band, nx), x.dtype),      # m2 band slots
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES
+        ),
+        interpret=interpret,
+    )(x, atbs, mean, m2, seed_tile, scal_f, scal_i)
+
+
+def run_myula_tv_tiled(
+    l2: Any,
+    tv_sigma: float,
+    tau,
+    gamma,
+    x0,
+    key,
+    n_steps: int,
+    *,
+    niter_tv: int = 10,
+    burn_in: int = 0,
+    block: Optional[int] = None,
+    noise_scale: float = 1.0,
+    interpret: bool = False,
+    tv_solver: str = "chambolle",
+    band: Optional[int] = None,
+    halo: Optional[int] = None,
+):
+    """Block-tiled fused MYULA chain for images past the whole-image VMEM
+    ceiling (2048^2 and the like); moments-only (no in-kernel quantiles —
+    at this scale pair it with the HBM-paged CI of ``run_myula_tv_fused``
+    below 2048^2, or thin samples to the host).
+
+    Same chain semantics as ``run_myula_tv_fused`` (cold TV prox each
+    step, weighted Welford with ``burn_in`` masking); the PRNG stream
+    differs (noise is drawn band-by-band), so noisy runs are
+    statistically — not bit — equal to the whole-image kernel. With
+    ``noise_scale=0`` the trajectories match the whole-image kernel to
+    f32 roundoff (tests/test_myula_tiled.py gates this)."""
+    taps, (oy, ox), atbs = _fused_params(l2, tv_sigma, tau, gamma, niter_tv)
+    if hasattr(l2, "lamda"):
+        raise ValueError("tiled fused MYULA supports plain TV only")
+    x0 = jnp.asarray(x0)
+    ny, nx = x0.shape
+    if halo is None:
+        halo = _round8(max(niter_tv + 1, oy, 8))
+    if band is None:
+        band = pick_band(ny, halo)
+    if block is None:
+        block = min(n_steps, 256)
+    block -= block % 2
+    while block > 0 and n_steps % block:
+        block -= 2
+    if block <= 0:
+        raise ValueError(f"n_steps={n_steps} must be even")
+    n_blocks = n_steps // block
+    key = as_key(key)
+
+    scal_f = _pack_scal_f(
+        l2, tau, gamma, tv_sigma, noise_scale, 0.0, 1.0, x0.dtype
+    )
+
+    def body(carry, b):
+        x, mean, m2 = carry
+        step0 = b * block
+        cnt0 = jnp.maximum(step0 - burn_in, 0)
+        scal_i = jnp.stack(
+            [step0, jnp.asarray(burn_in, jnp.int32), cnt0]
+        ).astype(jnp.int32)
+        x, mean, m2 = myula_tv_tiled_update(
+            x, atbs, mean, m2, _key_seed(step_key(key, b)), scal_f, scal_i,
+            taps=taps, oy=oy, ox=ox, n_steps=block, niter_tv=niter_tv,
+            band=band, halo=halo, with_noise=noise_scale != 0.0,
+            tv_solver=tv_solver, interpret=interpret,
+        )
+        return (x, mean, m2), None
+
+    zeros = jnp.zeros_like(x0)
+    (x, mean, m2), _ = jax.lax.scan(
+        body, (x0, zeros, zeros), jnp.arange(n_blocks, dtype=jnp.int32)
+    )
+    count = jnp.maximum(n_steps - burn_in, 0).astype(jnp.int32)
+    return FusedChainResult(
+        final_state=SamplerState.init(x),
+        moments=RunningMoments(count=count, mean=mean, m2=m2),
+    )

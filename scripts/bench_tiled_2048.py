@@ -1,0 +1,99 @@
+"""2048^2 row-band tiled fused MYULA — the scale past every whole-image
+kernel.
+
+The whole-image fused design tops out near 1024^2 (the ~7 live
+temporaries are the VMEM budget); at 2048^2 f32 the tiled kernel
+(kernels/myula_tiled.py) keeps only x (twice) + A^T b resident (48 MiB),
+computes in row bands with halo-exact TV proxes, and streams the Welford
+accumulators through HBM in double-buffered bands. This script measures
+it on the real chip at 2048^2 (band sweep) and cross-checks the tiled
+path against the whole-image kernel's known rate at 1024^2.
+
+Run: ``python scripts/bench_tiled_2048.py [row,row,...]``; rows persist
+to ``fig/r4_measurements/tiled_rows.jsonl`` so a tunnel flap resumes
+row-by-row (each row is its own many-minute Mosaic compile).
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from lmc_atomi_tpu.eval.metrics import psnr
+from lmc_atomi_tpu.kernels.myula_fused import run_myula_tv_fused
+from lmc_atomi_tpu.kernels.myula_tiled import run_myula_tv_tiled
+from lmc_atomi_tpu.ops.functionals import L2Data
+from lmc_atomi_tpu.ops.linops import CirculantBlur2D, uniform_kernel
+from lmc_atomi_tpu.utils.images import phantom
+
+LEDGER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "..", "fig", "r4_measurements", "tiled_rows.jsonl")
+
+
+def _problem(n):
+    sig = 0.75
+    img = jnp.asarray(phantom(n), jnp.float32)
+    blur = CirculantBlur2D.from_kernel((n, n), uniform_kernel(5, jnp.float32))
+    y = jax.jit(
+        lambda im, k: blur.matvec(im) + sig * jax.random.normal(k, im.shape)
+    )(img, jax.random.PRNGKey(0))
+    l2 = L2Data.create(op=blur, b=y, sigma=1 / sig**2)
+    return img, l2, 0.2 * sig**2, sig**2
+
+
+def main(steps: int = 4000, burn: int = 1000):
+    rows, done = [], set()
+    ledger = LEDGER
+    if jax.default_backend() != "tpu":
+        ledger = os.devnull  # CPU smoke rows must not mask chip rows
+    elif os.path.exists(ledger):
+        with open(ledger) as f:
+            for line in f:
+                row = json.loads(line)
+                rows.append(row)
+                done.add(row["config"])
+    want = sys.argv[1].split(",") if len(sys.argv) > 1 else None
+
+    def run_row(label, n, fn, **kw):
+        if label in done or (want is not None
+                             and not any(w in label for w in want)):
+            return
+        img, l2, tau, gamma = _problem(n)
+        interp = jax.default_backend() != "tpu"
+        f = jax.jit(lambda x, k: fn(
+            l2, 0.3, tau, gamma, x, k, steps, block=200, burn_in=burn,
+            tv_solver="fgp", niter_tv=8, interpret=interp,
+            noise_scale=0.0 if interp else 1.0, **kw,
+        ))
+        x0 = jnp.zeros_like(img)
+        key = jax.random.PRNGKey(1)
+        out = f(x0, key)
+        jax.block_until_ready(out.moments.mean)
+        t0 = time.perf_counter()
+        out = f(x0, key)
+        jax.block_until_ready(out.moments.mean)
+        ips = steps / (time.perf_counter() - t0)
+        p = float(psnr(img, out.moments.mean))
+        row = {"config": label, "n": n, "iters_per_sec": round(ips, 1),
+               "psnr_mean": round(p, 3)}
+        rows.append(row)
+        os.makedirs(os.path.dirname(os.path.abspath(ledger)), exist_ok=True)
+        with open(ledger, "a") as f2:
+            f2.write(json.dumps(row) + "\n")
+        print(f"{label:28s} {ips:8.0f} iters/s  psnr={p:.3f}", flush=True)
+
+    run_row("tiled 2048 band=512", 2048, run_myula_tv_tiled, band=512)
+    run_row("tiled 2048 band=256", 2048, run_myula_tv_tiled, band=256)
+    run_row("tiled 1024 band=512", 1024, run_myula_tv_tiled, band=512)
+    run_row("whole-image 1024", 1024, run_myula_tv_fused)
+
+    print(json.dumps({"workload": "tiled_myula", "steps": steps,
+                      "rows": rows}))
+
+
+if __name__ == "__main__":
+    main()

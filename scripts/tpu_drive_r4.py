@@ -45,6 +45,10 @@ STAGES = [
     ("ulpda_frontier", 3000, [PY, "scripts/bench_ulpda_frontier.py"]),
     ("fgp_frontier", 3000, [PY, "scripts/bench_fgp_frontier.py"]),
     ("mesh_stochastic", 600, [PY, "scripts/mesh_stochastic_probe.py"]),
+    # row-band tiled kernel at the new scale ceiling (rows persist to
+    # tiled_rows.jsonl, resumable)
+    ("tiled_2048", 3600, [PY, "scripts/bench_tiled_2048.py", "tiled 2048"]),
+    ("tiled_1024", 3000, [PY, "scripts/bench_tiled_2048.py", "1024"]),
     ("deconv_score_einstein", 3600, [
         PY, "-m", "lmc_atomi_tpu.experiments.deconv", "--size", "512",
         "--image", "einstein", "--n_steps", "20000", "--alg", "MYULA",

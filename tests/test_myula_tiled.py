@@ -1,0 +1,105 @@
+"""Row-band tiled fused MYULA (kernels/myula_tiled.py) vs the whole-image
+fused kernel: with noise off the two are the same deterministic map, so
+trajectories and Welford moments must agree to accumulation roundoff —
+this gates the halo width, the periodic wrap slicing, and the per-band
+Neumann TV masks all at once (any of them wrong shows up as O(1) error
+at a band seam, not 1e-4). In float64 the agreement is ~1e-13: the
+tiling is EXACT, not approximate."""
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lmc_atomi_tpu.kernels.myula_fused import run_myula_tv_fused
+from lmc_atomi_tpu.kernels.myula_tiled import pick_band, run_myula_tv_tiled
+from lmc_atomi_tpu.ops.functionals import L2Data
+from lmc_atomi_tpu.ops.linops import CirculantBlur2D, uniform_kernel
+from lmc_atomi_tpu.utils.images import phantom
+
+N = 128
+TAU, GAMMA = 0.2 * 0.75**2, 0.75**2
+
+
+def _problem(dtype):
+    img = jnp.asarray(phantom(N), dtype)
+    blur = CirculantBlur2D.from_kernel((N, N), uniform_kernel(5, dtype))
+    y = blur.matvec(img)
+    return L2Data.create(op=blur, b=y, sigma=1 / 0.75**2)
+
+
+def _run(fn, l2, dtype, **kw):
+    return fn(
+        l2, 0.3, TAU, GAMMA, jnp.zeros((N, N), dtype), jax.random.PRNGKey(1),
+        12, block=6, burn_in=4, noise_scale=0.0, interpret=True, **kw,
+    )
+
+
+class TestTiledEquality:
+    @pytest.mark.parametrize(
+        "band,halo,solver,nt",
+        [
+            (32, 16, "chambolle", 10),
+            (64, 16, "chambolle", 10),
+            (32, 16, "fgp", 8),
+            (64, 32, "fgp", 8),
+        ],
+    )
+    def test_matches_whole_image_f32(self, band, halo, solver, nt):
+        l2 = _problem(jnp.float32)
+        ref = _run(run_myula_tv_fused, l2, jnp.float32,
+                   tv_solver=solver, niter_tv=nt)
+        out = _run(run_myula_tv_tiled, l2, jnp.float32, band=band, halo=halo,
+                   tv_solver=solver, niter_tv=nt)
+        assert jnp.allclose(
+            out.final_state.position, ref.final_state.position, atol=5e-4
+        )
+        assert jnp.allclose(out.moments.mean, ref.moments.mean, atol=5e-4)
+        assert int(out.moments.count) == int(ref.moments.count)
+        assert jnp.allclose(out.moments.m2, ref.moments.m2, atol=5e-2)
+
+    def test_exact_in_f64(self):
+        l2 = _problem(jnp.float64)
+        ref = _run(run_myula_tv_fused, l2, jnp.float64)
+        out = _run(run_myula_tv_tiled, l2, jnp.float64, band=32, halo=16)
+        assert jnp.allclose(
+            out.final_state.position, ref.final_state.position, atol=1e-11
+        )
+        assert jnp.allclose(out.moments.mean, ref.moments.mean, atol=1e-11)
+        assert jnp.allclose(out.moments.m2, ref.moments.m2, atol=1e-9)
+
+    def test_block_segmentation_invariant(self):
+        l2 = _problem(jnp.float64)
+        a = _run(run_myula_tv_tiled, l2, jnp.float64, band=32, halo=16)
+        b = run_myula_tv_tiled(
+            l2, 0.3, TAU, GAMMA, jnp.zeros((N, N), jnp.float64),
+            jax.random.PRNGKey(1), 12, block=2, burn_in=4, noise_scale=0.0,
+            interpret=True, band=32, halo=16,
+        )
+        assert jnp.allclose(
+            a.final_state.position, b.final_state.position, atol=1e-12
+        )
+        assert jnp.allclose(a.moments.mean, b.moments.mean, atol=1e-12)
+        assert jnp.allclose(a.moments.m2, b.moments.m2, atol=1e-10)
+
+    def test_auto_band_halo(self):
+        # defaults must produce a valid configuration at every size
+        for ny in (128, 256, 512, 1024, 2048):
+            band = pick_band(ny, 16)
+            assert ny % band == 0 and ny // band >= 2
+            assert band + 32 <= ny
+        l2 = _problem(jnp.float32)
+        out = _run(run_myula_tv_tiled, l2, jnp.float32)
+        assert jnp.isfinite(out.moments.mean).all()
+
+    def test_validation(self):
+        l2 = _problem(jnp.float32)
+        x0 = jnp.zeros((N, N), jnp.float32)
+        key = jax.random.PRNGKey(0)
+        with pytest.raises(ValueError, match="even"):
+            run_myula_tv_tiled(l2, 0.3, TAU, GAMMA, x0, key, 13,
+                               noise_scale=0.0, interpret=True)
+        with pytest.raises(ValueError, match="halo"):
+            run_myula_tv_tiled(l2, 0.3, TAU, GAMMA, x0, key, 12, halo=8,
+                               noise_scale=0.0, interpret=True)
+        with pytest.raises(ValueError, match="band"):
+            run_myula_tv_tiled(l2, 0.3, TAU, GAMMA, x0, key, 12, band=100,
+                               noise_scale=0.0, interpret=True)
