@@ -45,10 +45,6 @@ STAGES = [
     ("ulpda_frontier", 3000, [PY, "scripts/bench_ulpda_frontier.py"]),
     ("fgp_frontier", 3000, [PY, "scripts/bench_fgp_frontier.py"]),
     ("mesh_stochastic", 600, [PY, "scripts/mesh_stochastic_probe.py"]),
-    # row-band tiled kernel at the new scale ceiling (rows persist to
-    # tiled_rows.jsonl, resumable)
-    ("tiled_2048", 3600, [PY, "scripts/bench_tiled_2048.py", "tiled 2048"]),
-    ("tiled_1024", 3000, [PY, "scripts/bench_tiled_2048.py", "1024"]),
     ("deconv_score_einstein", 3600, [
         PY, "-m", "lmc_atomi_tpu.experiments.deconv", "--size", "512",
         "--image", "einstein", "--n_steps", "20000", "--alg", "MYULA",
@@ -59,6 +55,16 @@ STAGES = [
         "--image", "hopper", "--n_steps", "20000", "--alg", "MYULA",
         "--score_row", "true", "--collect_metrics", "false",
         "--make_plots", "false"]),
+    ("ct256_long", 3600, [
+        PY, "-m", "lmc_atomi_tpu.experiments.ct", "--size", "256",
+        "--n_angles", "90", "--n_steps", "20000", "--burn_in", "4000",
+        "--segment_steps", "500", "--ci_quantiles", "(0.025,0.975)",
+        "--pnp", "false", "--score_prior", "false",
+        "--make_plots", "false"]),
+    # row-band tiled kernel at the new scale ceiling (rows persist to
+    # tiled_rows.jsonl, resumable)
+    ("tiled_2048", 3600, [PY, "scripts/bench_tiled_2048.py", "tiled 2048"]),
+    ("tiled_1024", 3000, [PY, "scripts/bench_tiled_2048.py", "1024"]),
     ("deconv_mri", 2400, [
         PY, "-m", "lmc_atomi_tpu.experiments.deconv", "--size", "256",
         "--image", "mri", "--n_steps", "20000", "--alg", "MYULA",
@@ -67,12 +73,6 @@ STAGES = [
         PY, "-m", "lmc_atomi_tpu.experiments.deconv", "--size", "256",
         "--image", "mri", "--compute_map", "true", "--niter_map", "1000",
         "--collect_metrics", "false", "--make_plots", "false"]),
-    ("ct256_long", 3600, [
-        PY, "-m", "lmc_atomi_tpu.experiments.ct", "--size", "256",
-        "--n_angles", "90", "--n_steps", "20000", "--burn_in", "4000",
-        "--segment_steps", "500", "--ci_quantiles", "(0.025,0.975)",
-        "--pnp", "false", "--score_prior", "false",
-        "--make_plots", "false"]),
     ("ct256_tau05", 3600, [
         PY, "-m", "lmc_atomi_tpu.experiments.ct", "--size", "256",
         "--n_angles", "90", "--n_steps", "20000", "--burn_in", "4000",
