@@ -50,6 +50,8 @@ from lmc_atomi_tpu.kernels.myula_fused import (
     _box_muller2,
     _fused_params,
     _key_seed,
+    _marker_band_rows,
+    _p2_hbm_pass,
     _pack_scal_f,
     _tv_prox,
     _tv_prox_fgp,
@@ -113,17 +115,23 @@ def _band_masks(b: int, n_bands: int, band: int, halo: int, nx: int, dtype):
 
 
 def _tiled_kernel(
-    x_ref, atbs_ref, mean_ref, m2_ref, seed_ref, scal_ref, int_ref,
-    xo_ref, meano_ref, m2o_ref,
-    xs_ref, mean_s, m2_s, sems,
-    *, taps, oy, ox, n_steps, niter_tv, tv_step, band, halo,
-    with_noise, tv_solver,
+    x_ref, atbs_ref, mean_ref, m2_ref, qh_ref, qn_ref, seed_ref, scal_ref,
+    int_ref,
+    xo_ref, meano_ref, m2o_ref, qho_ref, qno_ref,
+    *scratch,
+    taps, oy, ox, n_steps, niter_tv, tv_step, band, halo,
+    with_noise, tv_solver, quantiles, quantile_thin,
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     ny, nx = x_ref.shape
     n_bands = ny // band
+    n_q = len(quantiles)
+    if n_q:
+        xs_ref, mean_s, m2_s, sems, qh_s, qn_s, sems_q = scratch
+    else:
+        xs_ref, mean_s, m2_s, sems = scratch
     tau = scal_ref[0]
     gamma = scal_ref[1]
     tv_gamma = scal_ref[2]
@@ -137,12 +145,19 @@ def _tiled_kernel(
     # prologue: land the incoming state in the output buffers — all
     # further reads and read-modify-writes go through the outputs (an
     # input ref is not guaranteed to reflect writes to its aliased
-    # output, and mean/m2 are NOT aliased)
+    # output, and mean/m2/markers are NOT aliased)
     xo_ref[:] = x_ref[:]
     init_m = pltpu.make_async_copy(mean_ref, meano_ref, sems.at[0, 0])
     init_v = pltpu.make_async_copy(m2_ref, m2o_ref, sems.at[0, 1])
     init_m.start()
     init_v.start()
+    if n_q:
+        init_h = pltpu.make_async_copy(qh_ref, qho_ref, sems_q.at[0, 0])
+        init_n = pltpu.make_async_copy(qn_ref, qno_ref, sems_q.at[0, 1])
+        init_h.start()
+        init_n.start()
+        init_h.wait()
+        init_n.wait()
     init_m.wait()
     init_v.wait()
 
@@ -224,6 +239,21 @@ def _tiled_kernel(
                 # drain before the next step re-reads the same HBM rows
                 for d in dma_out(b % 2, b):
                     d.wait()
+        if n_q:
+            # streaming P^2 quantiles on the recorded steps: the marker
+            # pass (myula_fused._p2_hbm_pass) pages the HBM marker fields
+            # through VMEM row bands; the record guard is DYNAMIC
+            # (pl.when), so any quantile_thin works without unrolling
+            c_prev = jnp.maximum(
+                g // quantile_thin - burn // quantile_thin, 0
+            )
+
+            @pl.when((g + 1) % quantile_thin == 0)
+            def _record():
+                _p2_hbm_pass(
+                    dst_ref[:], c_prev, w.astype(jnp.int32), qho_ref,
+                    qno_ref, qh_s, qn_s, sems_q, quantiles, pltpu,
+                )
 
     def pair_body(j, c):
         g = step0 + 2 * j
@@ -238,21 +268,26 @@ def _tiled_kernel(
     jax.jit,
     static_argnames=(
         "taps", "oy", "ox", "n_steps", "niter_tv", "tv_step", "band",
-        "halo", "with_noise", "tv_solver", "interpret",
+        "halo", "with_noise", "tv_solver", "quantiles", "quantile_thin",
+        "interpret",
     ),
 )
 def myula_tv_tiled_update(
-    x, atbs, mean, m2, seed, scal_f, scal_i, *,
+    x, atbs, mean, m2, seed, scal_f, scal_i, qh=None, qn=None, *,
     taps, oy: int, ox: int, n_steps: int, niter_tv: int = 10,
     tv_step: float = 0.25, band: int, halo: int,
     with_noise: bool = True, tv_solver: str = "chambolle",
+    quantiles: Tuple[float, ...] = (), quantile_thin: int = 1,
     interpret: bool = False,
 ):
     """``n_steps`` (even) tiled fused MYULA TV steps + in-kernel Welford.
 
     ``atbs = sigma * A^T b`` exactly as for the whole-image kernel; the
-    data gradient is assembled per band as
-    ``gscale * gram(x) - atbs``. Returns ``(x', mean', m2')``.
+    data gradient is assembled per band as ``gscale * gram(x) - atbs``.
+    ``quantiles`` adds streaming P^2 marker maps, HBM-resident and paged
+    through VMEM per recorded step (``qh``/``qn`` of shapes
+    ``(5 n_q, ny, nx)`` / ``(3 n_q, ny, nx)``). Returns
+    ``(x', mean', m2', qh', qn')``.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -274,36 +309,57 @@ def myula_tv_tiled_update(
     seed_tile = jnp.zeros((1, 128), jnp.int32)
     seed_tile = seed_tile.at[0, :2].set(jnp.asarray(seed, jnp.int32))
 
+    n_q = len(quantiles)
+    qh_shape = (5 * n_q,) + x.shape if n_q else (1, 1)
+    qn_shape = (3 * n_q,) + x.shape if n_q else (1, 1)
+    if qh is None:
+        qh = jnp.zeros(qh_shape, x.dtype)
+    if qn is None:
+        qn = jnp.zeros(qn_shape, x.dtype)
+
     kern = functools.partial(
         _tiled_kernel,
         taps=taps, oy=oy, ox=ox, n_steps=n_steps, niter_tv=niter_tv,
         tv_step=tv_step, band=band, halo=halo, with_noise=with_noise,
-        tv_solver=tv_solver,
+        tv_solver=tv_solver, quantiles=quantiles,
+        quantile_thin=quantile_thin,
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     hbm = pl.BlockSpec(memory_space=pl.ANY)
+    marker_spec = hbm if n_q else vmem
+    scratch_shapes = [
+        pltpu.VMEM((ny, nx), x.dtype),           # parity partner
+        pltpu.VMEM((2, band, nx), x.dtype),      # mean band slots
+        pltpu.VMEM((2, band, nx), x.dtype),      # m2 band slots
+        pltpu.SemaphoreType.DMA((2, 4)),
+    ]
+    if n_q:
+        band_m = _marker_band_rows(x.shape)
+        scratch_shapes += [
+            pltpu.VMEM((2, 5 * n_q, band_m, nx), x.dtype),
+            pltpu.VMEM((2, 3 * n_q, band_m, nx), x.dtype),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ]
     return pl.pallas_call(
         kern,
         out_shape=(
             jax.ShapeDtypeStruct(x.shape, x.dtype),
             jax.ShapeDtypeStruct(x.shape, x.dtype),
             jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.ShapeDtypeStruct(qh_shape, x.dtype),
+            jax.ShapeDtypeStruct(qn_shape, x.dtype),
         ),
-        in_specs=[vmem, vmem, hbm, hbm, vmem, smem, smem],
-        out_specs=(vmem, hbm, hbm),
+        in_specs=[vmem, vmem, hbm, hbm, marker_spec, marker_spec, vmem,
+                  smem, smem],
+        out_specs=(vmem, hbm, hbm, marker_spec, marker_spec),
         input_output_aliases={0: 0},
-        scratch_shapes=[
-            pltpu.VMEM((ny, nx), x.dtype),           # parity partner
-            pltpu.VMEM((2, band, nx), x.dtype),      # mean band slots
-            pltpu.VMEM((2, band, nx), x.dtype),      # m2 band slots
-            pltpu.SemaphoreType.DMA((2, 4)),
-        ],
+        scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT_BYTES
         ),
         interpret=interpret,
-    )(x, atbs, mean, m2, seed_tile, scal_f, scal_i)
+    )(x, atbs, mean, m2, qh, qn, seed_tile, scal_f, scal_i)
 
 
 def run_myula_tv_tiled(
@@ -323,18 +379,23 @@ def run_myula_tv_tiled(
     tv_solver: str = "chambolle",
     band: Optional[int] = None,
     halo: Optional[int] = None,
+    quantiles: Tuple[float, ...] = (),
+    quantile_thin: int = 1,
+    quantile_state=None,
+    step_offset: int = 0,
 ):
     """Block-tiled fused MYULA chain for images past the whole-image VMEM
-    ceiling (2048^2 and the like); moments-only (no in-kernel quantiles —
-    at this scale pair it with the HBM-paged CI of ``run_myula_tv_fused``
-    below 2048^2, or thin samples to the host).
+    ceiling (2048^2 and the like).
 
     Same chain semantics as ``run_myula_tv_fused`` (cold TV prox each
-    step, weighted Welford with ``burn_in`` masking); the PRNG stream
-    differs (noise is drawn band-by-band), so noisy runs are
-    statistically — not bit — equal to the whole-image kernel. With
-    ``noise_scale=0`` the trajectories match the whole-image kernel to
-    f32 roundoff (tests/test_myula_tiled.py gates this)."""
+    step, weighted Welford with ``burn_in`` masking, optional streaming
+    P^2 ``quantiles`` — always HBM-paged here, amortized by
+    ``quantile_thin``, and the record guard is dynamic so any thin
+    works); the PRNG stream differs (noise is drawn band-by-band), so
+    noisy runs are statistically — not bit — equal to the whole-image
+    kernel. With ``noise_scale=0`` the trajectories match the
+    whole-image kernel to f32 roundoff (tests/test_myula_tiled.py gates
+    this)."""
     taps, (oy, ox), atbs = _fused_params(l2, tv_sigma, tau, gamma, niter_tv)
     if hasattr(l2, "lamda"):
         raise ValueError("tiled fused MYULA supports plain TV only")
@@ -358,27 +419,65 @@ def run_myula_tv_tiled(
         l2, tau, gamma, tv_sigma, noise_scale, 0.0, 1.0, x0.dtype
     )
 
+    quantiles = tuple(float(p) for p in quantiles)
+    n_q = len(quantiles)
+    if n_q and block % quantile_thin:
+        # record positions are (g+1) % thin == 0 with a dynamic guard, so
+        # only the BLOCK boundary needs aligning (blocks tile the chain)
+        raise ValueError(
+            f"block={block} must be a multiple of quantile_thin="
+            f"{quantile_thin}"
+        )
+
+    step_offset = jnp.asarray(step_offset, jnp.int32)
+
     def body(carry, b):
-        x, mean, m2 = carry
-        step0 = b * block
-        cnt0 = jnp.maximum(step0 - burn_in, 0)
+        x, mean, m2, qh, qn = carry
+        step0 = step_offset + b * block
+        # Welford count restarts at THIS run's first recorded step
+        # (partials merge via RunningMoments.merge); the P^2 count is
+        # global — same convention as run_myula_tv_fused
+        cnt0 = jnp.maximum(step0 - jnp.maximum(burn_in, step_offset), 0)
         scal_i = jnp.stack(
             [step0, jnp.asarray(burn_in, jnp.int32), cnt0]
         ).astype(jnp.int32)
-        x, mean, m2 = myula_tv_tiled_update(
+        x, mean, m2, qh, qn = myula_tv_tiled_update(
             x, atbs, mean, m2, _key_seed(step_key(key, b)), scal_f, scal_i,
+            qh, qn,
             taps=taps, oy=oy, ox=ox, n_steps=block, niter_tv=niter_tv,
             band=band, halo=halo, with_noise=noise_scale != 0.0,
-            tv_solver=tv_solver, interpret=interpret,
+            tv_solver=tv_solver, quantiles=quantiles,
+            quantile_thin=quantile_thin, interpret=interpret,
         )
-        return (x, mean, m2), None
+        return (x, mean, m2, qh, qn), None
 
     zeros = jnp.zeros_like(x0)
-    (x, mean, m2), _ = jax.lax.scan(
-        body, (x0, zeros, zeros), jnp.arange(n_blocks, dtype=jnp.int32)
+    if n_q:
+        if quantile_state is not None:
+            qh0, qn0 = quantile_state
+        else:
+            qh0 = jnp.zeros((5 * n_q,) + x0.shape, x0.dtype)
+            # interior marker positions start at (2, 3, 4), cf. _p2_update
+            qn0 = jnp.tile(
+                jnp.arange(2.0, 5.0, dtype=x0.dtype)[:, None, None],
+                (n_q, ny, nx),
+            )
+    else:
+        qh0 = qn0 = jnp.zeros((1, 1), x0.dtype)
+    (x, mean, m2, qh, qn), _ = jax.lax.scan(
+        body, (x0, zeros, zeros, qh0, qn0),
+        jnp.arange(n_blocks, dtype=jnp.int32),
     )
-    count = jnp.maximum(n_steps - burn_in, 0).astype(jnp.int32)
+    count = (
+        jnp.maximum(step_offset + n_steps - burn_in, 0)
+        - jnp.maximum(step_offset - burn_in, 0)
+    ).astype(jnp.int32)
     return FusedChainResult(
         final_state=SamplerState.init(x),
         moments=RunningMoments(count=count, mean=mean, m2=m2),
+        quantiles=(
+            {p: qh[5 * j + 2] for j, p in enumerate(quantiles)}
+            if n_q else None
+        ),
+        quantile_state=(qh, qn) if n_q else None,
     )

@@ -88,6 +88,8 @@ def main(steps: int = 4000, burn: int = 1000):
 
     run_row("tiled 2048 band=512", 2048, run_myula_tv_tiled, band=512)
     run_row("tiled 2048 band=256", 2048, run_myula_tv_tiled, band=256)
+    run_row("tiled 2048 CI thin=8", 2048, run_myula_tv_tiled, band=256,
+            quantiles=(0.025, 0.975), quantile_thin=8)
     run_row("tiled 1024 band=512", 1024, run_myula_tv_tiled, band=512)
     run_row("whole-image 1024", 1024, run_myula_tv_fused)
 

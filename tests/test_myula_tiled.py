@@ -90,6 +90,56 @@ class TestTiledEquality:
         out = _run(run_myula_tv_tiled, l2, jnp.float32)
         assert jnp.isfinite(out.moments.mean).all()
 
+    @pytest.mark.parametrize("thin", [1, 2, 4])
+    def test_quantiles_match_whole_image(self, thin):
+        # HBM-streamed P^2 markers under the dynamic record guard: the
+        # integer marker POSITIONS must match the whole-image kernel
+        # exactly (same record steps, same P^2 branches); heights to x's
+        # f32 accumulation roundoff
+        l2 = _problem(jnp.float32)
+        kw = dict(quantiles=(0.25, 0.75), quantile_thin=thin)
+        ref = run_myula_tv_fused(
+            l2, 0.3, TAU, GAMMA, jnp.zeros((N, N), jnp.float32),
+            jax.random.PRNGKey(1), 16, block=8, burn_in=4, noise_scale=0.0,
+            interpret=True, **kw,
+        )
+        out = run_myula_tv_tiled(
+            l2, 0.3, TAU, GAMMA, jnp.zeros((N, N), jnp.float32),
+            jax.random.PRNGKey(1), 16, block=8, burn_in=4, noise_scale=0.0,
+            interpret=True, band=32, halo=16, **kw,
+        )
+        for p in (0.25, 0.75):
+            assert jnp.allclose(out.quantiles[p], ref.quantiles[p],
+                                atol=5e-4)
+        assert jnp.array_equal(out.quantile_state[1], ref.quantile_state[1])
+        assert jnp.allclose(out.quantile_state[0], ref.quantile_state[0],
+                            atol=5e-4)
+
+    def test_quantile_resume(self):
+        # 8 + 8 steps with carried quantile_state == 16 straight
+        l2 = _problem(jnp.float32)
+        kw = dict(band=32, halo=16, burn_in=4, noise_scale=0.0,
+                  interpret=True, quantiles=(0.5,))
+        full = run_myula_tv_tiled(
+            l2, 0.3, TAU, GAMMA, jnp.zeros((N, N), jnp.float32),
+            jax.random.PRNGKey(1), 16, block=8, **kw,
+        )
+        a = run_myula_tv_tiled(
+            l2, 0.3, TAU, GAMMA, jnp.zeros((N, N), jnp.float32),
+            jax.random.PRNGKey(1), 8, block=8, **kw,
+        )
+        b = run_myula_tv_tiled(
+            l2, 0.3, TAU, GAMMA, a.final_state.position,
+            jax.random.PRNGKey(1), 8, block=8, step_offset=8,
+            quantile_state=a.quantile_state, **kw,
+        )
+        assert jnp.array_equal(
+            b.quantile_state[1], full.quantile_state[1]
+        )
+        assert jnp.allclose(
+            b.quantile_state[0], full.quantile_state[0], atol=5e-4
+        )
+
     def test_validation(self):
         l2 = _problem(jnp.float32)
         x0 = jnp.zeros((N, N), jnp.float32)
