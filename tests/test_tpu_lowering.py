@@ -144,6 +144,36 @@ class TestFusedMyulaLowering:
         )
 
 
+class TestTiledMyulaLowering:
+    def test_tiled_moments(self, deblur, x0):
+        from lmc_atomi_tpu.kernels.myula_tiled import run_myula_tv_tiled
+
+        _, _, _, l2 = deblur
+        _lower_tpu(
+            lambda x, k: run_myula_tv_tiled(
+                l2, 0.3, TAU, GAMMA, x, k, 8, block=4, burn_in=2,
+                band=16, halo=16, tv_solver="fgp", niter_tv=8,
+            ).moments.mean,
+            x0, KEY,
+        )
+
+    def test_tiled_quantiles(self, deblur, x0):
+        """HBM-streamed markers under the DYNAMIC pl.when record guard —
+        the lowering risk is conditional DMA, which interpret mode never
+        exercises."""
+        from lmc_atomi_tpu.kernels.myula_tiled import run_myula_tv_tiled
+
+        _, _, _, l2 = deblur
+        _lower_tpu(
+            lambda x, k: run_myula_tv_tiled(
+                l2, 0.3, TAU, GAMMA, x, k, 8, block=4, burn_in=2,
+                band=16, halo=16, quantiles=(0.025, 0.975),
+                quantile_thin=2,
+            ).moments.mean,
+            x0, KEY,
+        )
+
+
 class TestFusedUlpdaLowering:
     def test_tv_dual(self, deblur, x0):
         from lmc_atomi_tpu.kernels.ulpda_fused import run_ulpda_fused
