@@ -143,11 +143,13 @@ def run_resumable_fused(
     parallel-Welford combine.
 
     ``runner`` selects the fused chain: ``"tv"`` (default,
-    ``run_myula_tv_fused`` — ``tv_sigma`` is the TV weight) or
+    ``run_myula_tv_fused`` — ``tv_sigma`` is the TV weight),
     ``"wavelet"`` (``run_myula_wavelet_fused`` on an ``L2Data(Mask)``
     inpainting posterior — ``tv_sigma`` is the wavelet-l1 weight ``lam``;
-    ``levels``/``taps`` pass through ``fused_kwargs``). Both carry the
-    in-kernel P^2 ``quantiles`` stream through checkpoints.
+    ``levels``/``taps`` pass through ``fused_kwargs``), or ``"tiled"``
+    (``run_myula_tv_tiled``, the row-band kernel for 2048^2-scale images;
+    ``segment_steps`` must be even). All carry the in-kernel P^2
+    ``quantiles`` stream through checkpoints.
 
     CHAIN-FARM MODE: an ``x0`` of shape ``(n_chains, ny, nx)`` runs
     ``n_chains`` independent chains of the same posterior, each segment a
@@ -199,6 +201,16 @@ def run_resumable_fused(
     def _one_chain(x, k, n, off, qstate):
         if runner == "wavelet":
             return run_myula_wavelet_fused(
+                l2, tv_sigma, tau, gamma, x, k, n, burn_in=burn_in,
+                quantiles=quantiles, quantile_state=qstate,
+                step_offset=off, **fused_kwargs,
+            )
+        if runner == "tiled":
+            # row-band tiled kernel (2048^2-scale production path);
+            # segments must be even (parity-paired steps)
+            from lmc_atomi_tpu.kernels.myula_tiled import run_myula_tv_tiled
+
+            return run_myula_tv_tiled(
                 l2, tv_sigma, tau, gamma, x, k, n, burn_in=burn_in,
                 quantiles=quantiles, quantile_state=qstate,
                 step_offset=off, **fused_kwargs,
