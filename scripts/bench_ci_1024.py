@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from lmc_atomi_tpu.eval.metrics import psnr
 from lmc_atomi_tpu.kernels import myula_imaging
 from lmc_atomi_tpu.kernels.myula_fused import run_myula_tv_fused
+from lmc_atomi_tpu.kernels.myula_tiled import run_myula_tv_tiled
 from lmc_atomi_tpu.ops.functionals import L2Data, TVNorm
 from lmc_atomi_tpu.ops.linops import CirculantBlur2D, uniform_kernel
 from lmc_atomi_tpu.run.runner import run_chain
@@ -64,7 +65,15 @@ def main(n: int = 1024, steps: int = 20000, burn: int = 2000):
         "thin16": ("fused + 95% CI, HBM-paged markers, thin=16",
                    fused_ci(16)),
         "thin8": ("fused + 95% CI, HBM-paged markers, thin=8", fused_ci(8)),
-        "thin1": ("fused + 95% CI, HBM-paged markers, thin=1", fused_ci(1)),
+        # thin=1 whole-image is a MEASURED hardware ceiling at 1024^2:
+        # 121.64 MiB scoped-VMEM stack vs the ~120 MiB the core exposes
+        # (Mosaic OOM, ci1024_rest.log) — every-draw recording runs on the
+        # row-band tiled kernel instead (markers streamed per band).
+        "thin1": ("tiled + 95% CI, band-streamed markers, thin=1", jax.jit(
+            lambda x, k: run_myula_tv_tiled(
+                l2, 0.3, tau, gamma, x, k, steps, burn_in=burn,
+                quantiles=(0.025, 0.975), quantile_thin=1,
+            ))),
         "unfused": ("unfused XLA, moments + 95% CI (P^2 in HBM)", jax.jit(
             lambda x, k: run_chain(
                 kern, x, k, steps, collect="stats",

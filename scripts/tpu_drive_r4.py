@@ -36,8 +36,10 @@ STAGES = [
     # ci1024.log); remaining rows run one compile at a time so a tunnel
     # flap can't discard finished compiles
     ("ci1024_thin32", 3000, [PY, "scripts/bench_ci_1024.py", "thin32"]),
+    # thin8 measured 2026-08-20 (4564 iters/s, ci1024_rest.log); thin1
+    # whole-image OOMs (121.64 MiB scoped stack) -> row now runs tiled
     ("ci1024_rest", 3600, [PY, "scripts/bench_ci_1024.py",
-                           "thin8,thin1,unfused"]),
+                           "thin1,unfused"]),
     # frontier rows persist to ulpda_frontier_rows.jsonl, so the two
     # chunks resume row-by-row after a flap; final chunk prints the JSON
     ("ulpda_frontier_tv", 3000,
