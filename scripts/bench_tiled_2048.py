@@ -92,6 +92,9 @@ def main(steps: int = 4000, burn: int = 1000):
             quantiles=(0.025, 0.975), quantile_thin=8)
     run_row("tiled 1024 band=512", 1024, run_myula_tv_tiled, band=512)
     run_row("whole-image 1024", 1024, run_myula_tv_fused)
+    # 4096^2 = 16x the whole-image ceiling; working set is still only
+    # x (2 parities) + A^T b in VMEM bands, everything else HBM-streamed
+    run_row("tiled 4096 band=256", 4096, run_myula_tv_tiled, band=256)
 
     print(json.dumps({"workload": "tiled_myula", "steps": steps,
                       "rows": rows}))

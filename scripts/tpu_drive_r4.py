@@ -67,6 +67,7 @@ STAGES = [
     # tiled_rows.jsonl, resumable)
     ("tiled_2048", 3600, [PY, "scripts/bench_tiled_2048.py", "tiled 2048"]),
     ("tiled_1024", 3000, [PY, "scripts/bench_tiled_2048.py", "1024"]),
+    ("tiled_4096", 3600, [PY, "scripts/bench_tiled_2048.py", "4096"]),
     ("deconv_mri", 2400, [
         PY, "-m", "lmc_atomi_tpu.experiments.deconv", "--size", "256",
         "--image", "mri", "--n_steps", "20000", "--alg", "MYULA",
