@@ -93,24 +93,23 @@ def _read_tile(ref, b: int, band: int, halo: int, ny: int, pl):
 def _band_masks(b: int, n_bands: int, band: int, halo: int, nx: int, dtype):
     """Forward-difference masks for a tile, in TILE coordinates.
 
-    Interior bands: every tile row is a real image row (the image's last
-    row can never fall inside an interior band's halo while halo < band),
-    so only the column mask applies. Band 0's top halo and the last
-    band's bottom halo hold WRAPPED rows that do not exist for the
-    Neumann TV boundary: masking their duals to zero reproduces the
-    whole-image ``div`` exactly (row 0 reads a zeroed neighbour, row
-    ny-1's forward difference is zeroed)."""
+    The row mask zeroes the dual's forward difference at image row
+    ``ny - 1`` WHEREVER it falls in the tile (tile rows map to image rows
+    with periodic wrap). That single zero makes the wrap seam exact for
+    the Neumann TV boundary in any halo/band geometry: the whole image's
+    dual at row ny-1 is identically zero, so a wrapped read across the
+    seam sees ``div`` at row 0 as ``py[0] - 0`` and the forward
+    difference at row ny-1 as zero — both exactly the whole-image values.
+    (Masking only band 0 / last band's halos — the pre-round-5 scheme —
+    silently broke when halo >= band put the image boundary inside an
+    interior band's halo.)"""
     tile = band + 2 * halo
+    ny = n_bands * band
     col = jax.lax.broadcasted_iota(jnp.int32, (tile, nx), 1)
     mx = (col < nx - 1).astype(dtype)
-    if b == 0 or b == n_bands - 1:
-        row = jax.lax.broadcasted_iota(jnp.int32, (tile, nx), 0)
-        if b == 0:
-            my = (row >= halo).astype(dtype)
-        else:
-            my = (row < halo + band - 1).astype(dtype)
-    else:
-        my = jnp.ones((tile, nx), dtype)
+    row = jax.lax.broadcasted_iota(jnp.int32, (tile, nx), 0)
+    img_row = (row + (b * band - halo) % ny) % ny
+    my = (img_row != ny - 1).astype(dtype)
     return my, mx
 
 
@@ -304,6 +303,11 @@ def myula_tv_tiled_update(
         raise ValueError(
             f"halo={halo} must be a multiple of 8 and >= "
             f"max(niter_tv + 1, oy) = {max(niter_tv + 1, oy)}"
+        )
+    if band + 2 * halo > ny:
+        raise ValueError(
+            f"tile = band + 2*halo = {band + 2 * halo} exceeds ny={ny}: "
+            "a tile may wrap the image at most once"
         )
 
     seed_tile = jnp.zeros((1, 128), jnp.int32)

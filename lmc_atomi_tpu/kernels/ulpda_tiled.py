@@ -315,6 +315,11 @@ def ulpda_tv_tiled_update(
             f"halo={halo} must be a multiple of 8 and >= "
             f"niter_solve * oy + 1 = {niter_solve * oy + 1}"
         )
+    if band + 2 * halo > ny:
+        raise ValueError(
+            f"tile = band + 2*halo = {band + 2 * halo} exceeds ny={ny}: "
+            "a tile may wrap the image at most once"
+        )
 
     seed_tile = jnp.zeros((1, 128), jnp.int32)
     seed_tile = seed_tile.at[0, :2].set(jnp.asarray(seed, jnp.int32))

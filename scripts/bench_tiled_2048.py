@@ -9,7 +9,8 @@ accumulators through HBM in double-buffered bands. This script measures
 it on the real chip at 2048^2 (band sweep) and cross-checks the tiled
 path against the whole-image kernel's known rate at 1024^2.
 
-Run: ``python scripts/bench_tiled_2048.py [row,row,...]``; rows persist
+Run: ``python scripts/bench_tiled_2048.py [prefix,prefix,...]``
+(row-label prefix selection); rows persist
 to ``fig/r4_measurements/tiled_rows.jsonl`` so a tunnel flap resumes
 row-by-row (each row is its own many-minute Mosaic compile).
 """
@@ -60,13 +61,50 @@ def main(steps: int = 4000, burn: int = 1000):
 
     def run_row(label, n, fn, **kw):
         if label in done or (want is not None
-                             and not any(w in label for w in want)):
+                             and not any(label.startswith(w)
+                                         for w in want)):
             return
         img, l2, tau, gamma = _problem(n)
         interp = jax.default_backend() != "tpu"
         f = jax.jit(lambda x, k: fn(
             l2, 0.3, tau, gamma, x, k, steps, block=200, burn_in=burn,
             tv_solver="fgp", niter_tv=8, interpret=interp,
+            noise_scale=0.0 if interp else 1.0, **kw,
+        ))
+        x0 = jnp.zeros_like(img)
+        key = jax.random.PRNGKey(1)
+        out = f(x0, key)
+        jax.block_until_ready(out.moments.mean)
+        t0 = time.perf_counter()
+        out = f(x0, key)
+        jax.block_until_ready(out.moments.mean)
+        ips = steps / (time.perf_counter() - t0)
+        p = float(psnr(img, out.moments.mean))
+        row = {"config": label, "n": n, "iters_per_sec": round(ips, 1),
+               "psnr_mean": round(p, 3)}
+        rows.append(row)
+        os.makedirs(os.path.dirname(os.path.abspath(ledger)), exist_ok=True)
+        with open(ledger, "a") as f2:
+            f2.write(json.dumps(row) + "\n")
+        print(f"{label:28s} {ips:8.0f} iters/s  psnr={p:.3f}", flush=True)
+
+    def run_ulpda_row(label, n, **kw):
+        """ULPDA rows share the ledger/selection logic but build the
+        primal-dual problem (kernels/ulpda_tiled.py)."""
+        if label in done or (want is not None
+                             and not any(label.startswith(w)
+                                         for w in want)):
+            return
+        from lmc_atomi_tpu.kernels.ulpda_tiled import run_ulpda_tv_tiled
+        from lmc_atomi_tpu.ops.functionals import L21Norm
+        from lmc_atomi_tpu.ops.linops import Gradient2D
+
+        img, l2, _, _ = _problem(n)
+        tau = 0.95 / l2.sigma
+        interp = jax.default_backend() != "tpu"
+        f = jax.jit(lambda x, k: run_ulpda_tv_tiled(
+            l2, L21Norm(sigma=0.3), Gradient2D(), tau, 1.0, x, k, steps,
+            block=200, burn_in=burn, niter_solve=3, interpret=interp,
             noise_scale=0.0 if interp else 1.0, **kw,
         ))
         x0 = jnp.zeros_like(img)
@@ -95,6 +133,10 @@ def main(steps: int = 4000, burn: int = 1000):
     # 4096^2 = 16x the whole-image ceiling; working set is still only
     # x (2 parities) + A^T b in VMEM bands, everything else HBM-streamed
     run_row("tiled 4096 band=256", 4096, run_myula_tv_tiled, band=256)
+    # primal-dual tiled flagship (kernels/ulpda_tiled.py): five resident
+    # fields, Chebyshev-3 gram solve (measured frontier default)
+    run_ulpda_row("ulpda tiled 2048 band=256", 2048, band=256)
+    run_ulpda_row("ulpda tiled 1024 band=256", 1024, band=256)
 
     print(json.dumps({"workload": "tiled_myula", "steps": steps,
                       "rows": rows}))

@@ -29,8 +29,37 @@ LEDGER = os.path.join(OUT, "done.json")
 PY = sys.executable
 MAX_REAL_FAILURES = 2
 
-# (name, timeout_s, argv) — ordered by value-per-minute; long stages last
+# (name, timeout_s, argv) — ordered by round-5 verdict priority: the
+# tiled flagship's first chip numbers, then CT/score/mri rows. The
+# scheduler is fewest-attempts-first, so this order holds among
+# fresh stages.
 STAGES = [
+    # row-band tiled kernel at the new scale ceiling (rows persist to
+    # tiled_rows.jsonl, resumable) — round-4 flagship, zero chip numbers
+    ("tiled_2048", 3600, [PY, "scripts/bench_tiled_2048.py",
+                          "tiled 2048 band,tiled 2048 CI"]),
+    ("tiled_1024", 3000, [PY, "scripts/bench_tiled_2048.py",
+                          "tiled 1024 band,whole-image 1024"]),
+    ("tiled_4096", 3600, [PY, "scripts/bench_tiled_2048.py",
+                          "tiled 4096"]),
+    ("ulpda_tiled", 3600, [PY, "scripts/bench_tiled_2048.py", "ulpda"]),
+    ("mesh_stochastic", 600, [PY, "scripts/mesh_stochastic_probe.py"]),
+    ("ct256_long", 3600, [
+        PY, "-m", "lmc_atomi_tpu.experiments.ct", "--size", "256",
+        "--n_angles", "90", "--n_steps", "20000", "--burn_in", "4000",
+        "--segment_steps", "500", "--ci_quantiles", "(0.025,0.975)",
+        "--pnp", "false", "--score_prior", "false",
+        "--make_plots", "false"]),
+    ("deconv_score_einstein", 3600, [
+        PY, "-m", "lmc_atomi_tpu.experiments.deconv", "--size", "512",
+        "--image", "einstein", "--n_steps", "20000", "--alg", "MYULA",
+        "--score_row", "true", "--collect_metrics", "false",
+        "--make_plots", "false"]),
+    ("deconv_score_hopper", 3600, [
+        PY, "-m", "lmc_atomi_tpu.experiments.deconv", "--size", "512",
+        "--image", "hopper", "--n_steps", "20000", "--alg", "MYULA",
+        "--score_row", "true", "--collect_metrics", "false",
+        "--make_plots", "false"]),
     ("bench", 900, [PY, "bench.py"]),
     # moments + thin16 rows landed 2026-08-19 (5455 / 4964 iters/s, log
     # ci1024.log); remaining rows run one compile at a time so a tunnel
@@ -46,28 +75,6 @@ STAGES = [
      [PY, "scripts/bench_ulpda_frontier.py", "Chebyshev"]),
     ("ulpda_frontier", 3000, [PY, "scripts/bench_ulpda_frontier.py"]),
     ("fgp_frontier", 3000, [PY, "scripts/bench_fgp_frontier.py"]),
-    ("mesh_stochastic", 600, [PY, "scripts/mesh_stochastic_probe.py"]),
-    ("deconv_score_einstein", 3600, [
-        PY, "-m", "lmc_atomi_tpu.experiments.deconv", "--size", "512",
-        "--image", "einstein", "--n_steps", "20000", "--alg", "MYULA",
-        "--score_row", "true", "--collect_metrics", "false",
-        "--make_plots", "false"]),
-    ("deconv_score_hopper", 3600, [
-        PY, "-m", "lmc_atomi_tpu.experiments.deconv", "--size", "512",
-        "--image", "hopper", "--n_steps", "20000", "--alg", "MYULA",
-        "--score_row", "true", "--collect_metrics", "false",
-        "--make_plots", "false"]),
-    ("ct256_long", 3600, [
-        PY, "-m", "lmc_atomi_tpu.experiments.ct", "--size", "256",
-        "--n_angles", "90", "--n_steps", "20000", "--burn_in", "4000",
-        "--segment_steps", "500", "--ci_quantiles", "(0.025,0.975)",
-        "--pnp", "false", "--score_prior", "false",
-        "--make_plots", "false"]),
-    # row-band tiled kernel at the new scale ceiling (rows persist to
-    # tiled_rows.jsonl, resumable)
-    ("tiled_2048", 3600, [PY, "scripts/bench_tiled_2048.py", "tiled 2048"]),
-    ("tiled_1024", 3000, [PY, "scripts/bench_tiled_2048.py", "1024"]),
-    ("tiled_4096", 3600, [PY, "scripts/bench_tiled_2048.py", "4096"]),
     ("deconv_mri", 2400, [
         PY, "-m", "lmc_atomi_tpu.experiments.deconv", "--size", "256",
         "--image", "mri", "--n_steps", "20000", "--alg", "MYULA",

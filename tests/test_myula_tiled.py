@@ -66,6 +66,29 @@ class TestTiledEquality:
         assert jnp.allclose(out.moments.mean, ref.moments.mean, atol=1e-11)
         assert jnp.allclose(out.moments.m2, ref.moments.m2, atol=1e-9)
 
+    def test_exact_in_f64_halo_ge_band(self):
+        """Regression (round-5 advisor finding): with halo >= band the
+        image's Neumann boundary row lands inside an interior band's
+        wrapped halo; the pre-fix _band_masks left its dual live there
+        (3.2e-10 drift after 8 steps at ny=64, band=16, halo=24). The
+        image-row mask must keep the tiling exact in this geometry."""
+        N2 = 64
+        img = jnp.asarray(phantom(N2), jnp.float64)
+        blur = CirculantBlur2D.from_kernel(
+            (N2, N2), uniform_kernel(5, jnp.float64))
+        l2 = L2Data.create(op=blur, b=blur.matvec(img), sigma=1 / 0.75**2)
+        kw = dict(niter_tv=16, burn_in=2, noise_scale=0.0, interpret=True)
+        x0 = jnp.zeros((N2, N2), jnp.float64)
+        ref = run_myula_tv_fused(
+            l2, 0.3, TAU, GAMMA, x0, jax.random.PRNGKey(1), 8, block=4, **kw)
+        out = run_myula_tv_tiled(
+            l2, 0.3, TAU, GAMMA, x0, jax.random.PRNGKey(1), 8, block=4,
+            band=16, halo=24, **kw)
+        assert jnp.allclose(
+            out.final_state.position, ref.final_state.position, atol=1e-12
+        )
+        assert jnp.allclose(out.moments.mean, ref.moments.mean, atol=1e-12)
+
     def test_block_segmentation_invariant(self):
         l2 = _problem(jnp.float64)
         a = _run(run_myula_tv_tiled, l2, jnp.float64, band=32, halo=16)

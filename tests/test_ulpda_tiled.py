@@ -106,46 +106,43 @@ class TestTiledQuantiles:
     PS = (0.3, 0.8)
 
     def test_matches_running_quantile_on_same_trajectory(self):
-        """Noise off, f64: feed the whole-image fused chain's per-step
-        positions into RunningQuantile; the tiled kernel's HBM-paged
-        in-kernel P^2 maps must agree (positions match to ~1e-11, so
-        every marker comparison resolves identically)."""
+        """Noise off, f64, quantile_thin=2: the in-kernel P^2 maps must
+        equal RunningQuantile fed the chain's own recorded positions.
+        With thin=2 the record steps are the odd global steps g (x after
+        2, 4, ... chain steps), which are exactly the boundary positions
+        of a 2-step-segment resume of the same deterministic chain — so
+        the reference stream is available without storing sub-block
+        iterates."""
         img, proxf, tau, mu = _problem(jnp.float64)
         proxg = L21Norm(sigma=0.3)
-        steps, burn = 14, 3
+        steps, burn, thin = 14, 3, 2
         x0 = jnp.zeros((N, N), jnp.float64)
         res = run_ulpda_tv_tiled(
             proxf, proxg, Gradient2D(), tau, mu, x0, jax.random.PRNGKey(1),
             steps, niter_solve=NITER_SOLVE, block=14, burn_in=burn,
             noise_scale=0.0, interpret=True, band=32, halo=16,
-            quantiles=self.PS,
+            quantiles=self.PS, quantile_thin=thin,
         )
         refs = {p: RunningQuantile.init(img.shape, p, jnp.float64)
                 for p in self.PS}
-        x = x0
-        y = None
-        xbar = None
-        for i in range(steps):
-            one = run_ulpda_fused(
+        x, y, xbar = x0, None, None
+        for k in range(steps // 2):
+            seg = run_ulpda_tv_tiled(
                 proxf, proxg, Gradient2D(), tau, mu, x,
-                jax.random.PRNGKey(1), 1, niter_solve=NITER_SOLVE, block=1,
-                noise_scale=0.0, interpret=True,
-            ) if i == 0 else None
-            if i == 0:
-                x = one.final_state.position
-                y = one.final_state.extras.y
-                xbar = one.final_state.extras.xbar
-            else:
-                cont = run_ulpda_tv_tiled(
-                    proxf, proxg, Gradient2D(), tau, mu, x,
-                    jax.random.PRNGKey(1), 2, niter_solve=NITER_SOLVE,
-                    block=2, noise_scale=0.0, interpret=True, band=32,
-                    halo=16, y0=y, xbar0=xbar,
-                )
-            if i >= burn:
+                jax.random.PRNGKey(1), 2, niter_solve=NITER_SOLVE,
+                block=2, burn_in=burn, noise_scale=0.0, interpret=True,
+                band=32, halo=16, y0=y, xbar0=xbar, step_offset=2 * k,
+            )
+            x = seg.final_state.position
+            y = seg.final_state.extras.y
+            xbar = seg.final_state.extras.xbar
+            if 2 * k + 1 >= burn:  # weight of the segment's last step
                 refs = {p: q.update(x) for p, q in refs.items()}
         for p in self.PS:
-            assert np.isfinite(np.asarray(res.quantiles[p])).all()
+            np.testing.assert_allclose(
+                np.asarray(res.quantiles[p]), np.asarray(refs[p].value),
+                atol=1e-10,
+            )
 
     def test_thinned_and_segmented_quantiles_consistent(self):
         """Marker state rides the block carry: one 14-step block equals
