@@ -212,9 +212,12 @@ def device_iters_per_sec():
         )
 
     # Labeled extras for the record: the fused primal-dual ULPDA sampler
-    # (Chebyshev-6 in-VMEM gram solve) and the in-kernel P^2
-    # credible-interval mode on the same problem — both at the reference
-    # cold-prox semantics. BENCH_EXTRAS=0 skips them.
+    # (default Chebyshev-3 in-VMEM gram solve — the measured round-4
+    # frontier: 33.9k iters/s at -0.011 dB vs Chebyshev-8,
+    # fig/r4_measurements/ulpda_frontier_rows.jsonl; the 0.1 dB gate is
+    # tests/test_ulpda_fused.py::test_default_chebyshev_sweeps_psnr_gate)
+    # and the in-kernel P^2 credible-interval mode on the same problem.
+    # BENCH_EXTRAS=0 skips them.
     ulpda_v = ci_v = None
     if fused and os.environ.get("BENCH_EXTRAS", "1") == "1":
         from lmc_atomi_tpu.kernels.ulpda_fused import run_ulpda_fused
@@ -304,6 +307,11 @@ def main():
         "value": round(value, 2),
         "unit": "iters/s",
         "vs_baseline": round(value / cpu, 2),
+        # `solver` labels the headline semantics so automated comparisons
+        # against pre-round-4 records (whose `value` was cold-10
+        # Chambolle) cannot silently mix inner-solver configs; the
+        # solver-matched number is always value_cold10
+        "solver": "fgp8" if fgp8 is not None else "chambolle_cold10",
         "value_cold10": round(cold10, 2),
     }
     if fgp8 is not None:

@@ -40,6 +40,10 @@ __all__ = [
 class ULPDAExtras(NamedTuple):
     y: Any  # dual variable
     xbar: Any  # extrapolated primal
+    # previous primal iterate (tiled kernel only): resuming from xprev is
+    # EXACT, while inverting xbar costs ~1 ulp that the non-contractive
+    # primal-dual iteration amplifies exponentially (~4x/step measured)
+    xprev: Any = None
 
 
 def ulpda(

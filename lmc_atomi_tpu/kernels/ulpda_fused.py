@@ -327,7 +327,7 @@ def _ulpda_kernel(
 def ulpda_block_update(
     x, py, px, xbar, atb, mean, m2, seed, scal_f, scal_i, *,
     taps: Taps, oy: int, ox: int, lam: float = 1.0, n_steps: int = 1,
-    niter_solve: int = 6,
+    niter_solve: int = 3,
     tv_step: float = 0.25, gfirst: bool = False, dual: str = "l21",
     mode: str = "tv", niter_inner: int = 10, with_noise: bool = True,
     tv_solver: str = "chambolle",
@@ -435,7 +435,7 @@ def ulpda_sep_fused(
     mu,
     theta: float = 1.0,
     gfirst: bool = False,
-    niter_solve: int = 6,
+    niter_solve: int = 3,
     base_seed: int = 0,
     noise_scale: float = 1.0,
     interpret: bool = False,
@@ -496,7 +496,7 @@ def run_ulpda_fused(
     *,
     theta: float = 1.0,
     gfirst: bool = False,
-    niter_solve: int = 6,
+    niter_solve: int = 3,
     burn_in: int = 0,
     block: Optional[int] = None,
     noise_scale: float = 1.0,

@@ -286,7 +286,7 @@ def _ulpda_tiled_kernel(
 )
 def ulpda_tv_tiled_update(
     x, xp, py, px, atb, mean, m2, seed, scal_f, scal_i, qh=None, qn=None, *,
-    taps, oy: int, ox: int, lam: float, n_steps: int, niter_solve: int = 6,
+    taps, oy: int, ox: int, lam: float, n_steps: int, niter_solve: int = 3,
     band: int, halo: int, gfirst: bool = False, dual: str = "l21",
     with_noise: bool = True, quantiles: Tuple[float, ...] = (),
     quantile_thin: int = 1, interpret: bool = False,
@@ -392,7 +392,7 @@ def run_ulpda_tv_tiled(
     *,
     theta: float = 1.0,
     gfirst: bool = False,
-    niter_solve: int = 6,
+    niter_solve: int = 3,
     burn_in: int = 0,
     block: Optional[int] = None,
     noise_scale: float = 1.0,
@@ -405,6 +405,7 @@ def run_ulpda_tv_tiled(
     step_offset: int = 0,
     y0=None,
     xbar0=None,
+    xprev0=None,
 ):
     """Row-band tiled fused ULPDA TV chain for images past the whole-image
     VMEM ceiling (2048^2 and the like), with in-kernel Welford moments and
@@ -415,7 +416,10 @@ def run_ulpda_tv_tiled(
     (``proxf`` an ``L2Data``; dual ``L21Norm``/``L1Norm`` over
     ``Gradient2D``); with ``noise_scale=0`` the trajectories match the
     whole-image kernel to roundoff (tests/test_ulpda_tiled.py). ``y0`` /
-    ``xbar0`` resume a handed-off dual/extrapolation state."""
+    ``xbar0`` resume a handed-off dual/extrapolation state; ``xprev0``
+    (the returned ``extras.xprev``) takes precedence over ``xbar0`` and
+    makes the resume BIT-exact — the ``xbar -> x_prev`` inversion costs
+    a rounding that the theta-extrapolated iteration amplifies."""
     (taps, (oy, ox), atb, mode, lamda, gamma_mc, _ni, dual,
      lam, levels) = _ulpda_setup(proxf, proxg, a_op, tau, mu)
     if mode != "tv":
@@ -453,7 +457,9 @@ def run_ulpda_tv_tiled(
     step_offset = jnp.asarray(step_offset, jnp.int32)
     zeros = jnp.zeros_like(x0)
     py0, px0 = (zeros, zeros) if y0 is None else (y0[0], y0[1])
-    if xbar0 is None or theta == 0.0:
+    if xprev0 is not None:
+        xp0 = jnp.asarray(xprev0)
+    elif xbar0 is None or theta == 0.0:
         xp0 = x0
     else:
         # invert xbar = (1+theta) x - theta x_prev for the parity partner
@@ -499,7 +505,8 @@ def run_ulpda_tv_tiled(
     xbar = (1.0 + theta) * x - theta * xp
     return FusedChainResult(
         final_state=SamplerState.init(
-            x, extras=ULPDAExtras(y=jnp.stack([py, px]), xbar=xbar)
+            x, extras=ULPDAExtras(y=jnp.stack([py, px]), xbar=xbar,
+                                  xprev=xp)
         ),
         moments=RunningMoments(count=count, mean=mean, m2=m2),
         quantiles=(

@@ -146,10 +146,14 @@ def run_resumable_fused(
     ``run_myula_tv_fused`` — ``tv_sigma`` is the TV weight),
     ``"wavelet"`` (``run_myula_wavelet_fused`` on an ``L2Data(Mask)``
     inpainting posterior — ``tv_sigma`` is the wavelet-l1 weight ``lam``;
-    ``levels``/``taps`` pass through ``fused_kwargs``), or ``"tiled"``
+    ``levels``/``taps`` pass through ``fused_kwargs``), ``"tiled"``
     (``run_myula_tv_tiled``, the row-band kernel for 2048^2-scale images;
-    ``segment_steps`` must be even). All carry the in-kernel P^2
-    ``quantiles`` stream through checkpoints.
+    ``segment_steps`` must be even), or ``"ulpda_tiled"``
+    (``run_ulpda_tv_tiled`` — primal-dual at the tiled scale; ``tv_sigma``
+    is the L21 dual weight and ``gamma`` is the dual step ``mu``; the
+    persistent duals + extrapolation state ride the bundle/checkpoint, so
+    a preempted primal-dual run resumes exactly). All carry the in-kernel
+    P^2 ``quantiles`` stream through checkpoints.
 
     CHAIN-FARM MODE: an ``x0`` of shape ``(n_chains, ny, nx)`` runs
     ``n_chains`` independent chains of the same posterior, each segment a
@@ -195,10 +199,21 @@ def run_resumable_fused(
             # interior marker positions (n1, n2, n3); extremes implicit
             jnp.broadcast_to(qn0, lead + qn0.shape) if multi else qn0,
         )
+    if runner == "ulpda_tiled":
+        # persistent primal-dual state: stacked (py, px) duals + the
+        # PREVIOUS primal iterate (x_prev = x0 is the cold start; the
+        # exact xprev handoff keeps segmented == monolithic bit-wise —
+        # inverting xbar instead costs a rounding the theta-extrapolated
+        # iteration amplifies exponentially)
+        lead = (n_chains,) if multi else ()
+        bundle["ulpda_extras"] = (
+            jnp.zeros(lead + (2,) + field_shape, x0.dtype),
+            x0,
+        )
     if ckpt_path and os.path.exists(ckpt_path):
         bundle = restore_checkpoint(ckpt_path, bundle)
 
-    def _one_chain(x, k, n, off, qstate):
+    def _one_chain(x, k, n, off, qstate, extras):
         if runner == "wavelet":
             return run_myula_wavelet_fused(
                 l2, tv_sigma, tau, gamma, x, k, n, burn_in=burn_in,
@@ -215,6 +230,18 @@ def run_resumable_fused(
                 quantiles=quantiles, quantile_state=qstate,
                 step_offset=off, **fused_kwargs,
             )
+        if runner == "ulpda_tiled":
+            from lmc_atomi_tpu.kernels.ulpda_tiled import run_ulpda_tv_tiled
+            from lmc_atomi_tpu.ops.functionals import L21Norm
+            from lmc_atomi_tpu.ops.linops import Gradient2D
+
+            y0, xprev0 = extras
+            return run_ulpda_tv_tiled(
+                l2, L21Norm(sigma=tv_sigma), Gradient2D(), tau, gamma,
+                x, k, n, burn_in=burn_in, quantiles=quantiles,
+                quantile_state=qstate, step_offset=off, y0=y0,
+                xprev0=xprev0, **fused_kwargs,
+            )
         return run_myula_tv_fused(
             l2, tv_sigma, tau, gamma, x, k, n, burn_in=burn_in,
             quantiles=quantiles, quantile_state=qstate, step_offset=off,
@@ -225,15 +252,15 @@ def run_resumable_fused(
     # block scan every segment (~16 s each at 512^2). The global start step
     # (`off` = done) is traced, so only distinct tail lengths recompile.
     @_ft.partial(jax.jit, static_argnames="n")
-    def run_seg(x, k, n, off, qstate):
+    def run_seg(x, k, n, off, qstate, extras):
         if not multi:
-            return _one_chain(x, k, n, off, qstate)
+            return _one_chain(x, k, n, off, qstate, extras)
         ks = chain_keys(k, n_chains)
         # `off` rides through explicitly (closed-over tracers do not cross
         # a shard_map boundary)
         farm = jax.vmap(
-            lambda xi, ki, qi, offi: _one_chain(xi, ki, n, offi, qi),
-            in_axes=(0, 0, 0 if quantiles else None, None),
+            lambda xi, ki, qi, offi, ei: _one_chain(xi, ki, n, offi, qi, ei),
+            in_axes=(0, 0, 0 if quantiles else None, None, 0),
         )
         if chains_mesh is not None:
             from jax.sharding import PartitionSpec as P
@@ -241,10 +268,11 @@ def run_resumable_fused(
             c = P("chains")
             farm = jax.shard_map(
                 farm, mesh=chains_mesh,
-                in_specs=(c, c, c if quantiles else P(), P()),
+                in_specs=(c, c, c if quantiles else P(), P(),
+                          c if runner == "ulpda_tiled" else P()),
                 out_specs=c, check_vma=False,
             )
-        return farm(x, ks, qstate, off)
+        return farm(x, ks, qstate, off, extras)
 
     while int(bundle["done"]) < total_steps:
         done = int(bundle["done"])
@@ -252,6 +280,7 @@ def run_resumable_fused(
         res = run_seg(
             bundle["position"], step_key(bundle["key"], done), n,
             bundle["done"], bundle.get("quantile_state"),
+            bundle.get("ulpda_extras"),
         )
         pos = res.final_state.position
         jax.block_until_ready(pos)
@@ -273,6 +302,10 @@ def run_resumable_fused(
         }
         if quantiles:
             bundle["quantile_state"] = res.quantile_state
+        if runner == "ulpda_tiled":
+            bundle["ulpda_extras"] = (
+                res.final_state.extras.y, res.final_state.extras.xprev,
+            )
         if ckpt_path:
             save_checkpoint(ckpt_path, bundle)
         if progress is not None:

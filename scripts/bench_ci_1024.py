@@ -80,9 +80,17 @@ def main(n: int = 1024, steps: int = 20000, burn: int = 2000):
                 quantile_ps=(0.025, 0.975), burn_in=burn,
             ))),
     }
-    # row selection: one Mosaic compile of this kernel takes many minutes on
-    # the sandboxed vCPU, so a flap-killed pass must be resumable row-by-row
+    # row selection: one Mosaic compile of this kernel takes many minutes
+    # on the sandboxed vCPU, so the driver resumes a flap-killed pass by
+    # re-invoking with the still-missing row names (manual argv selection;
+    # unlike bench_tiled_2048 there is no JSONL ledger here — the driver
+    # stage lists its rows explicitly)
     want = (sys.argv[1].split(",") if len(sys.argv) > 1 else list(all_runs))
+    unknown = [k for k in want if k not in all_runs]
+    if unknown:
+        raise SystemExit(
+            f"unknown row(s) {unknown}; valid rows: {sorted(all_runs)}"
+        )
     runs = [all_runs[k] for k in want]
     for label, run in runs:
         out = run(jnp.zeros_like(img), jax.random.PRNGKey(1))

@@ -310,3 +310,90 @@ def test_resumable_fused_tiled_runner(tmp_path):
         np.asarray(tq["quantiles"][0.5]),
         np.asarray(direct_q.quantiles[0.5]), rtol=2e-6, atol=2e-4,
     )
+
+
+def test_resumable_fused_ulpda_tiled_runner(tmp_path):
+    """runner="ulpda_tiled": the persistent primal-dual state (py/px +
+    extrapolated iterate) rides the bundle, so a checkpointed run resumes
+    bit-identically and a segmented run equals one direct tiled ULPDA run
+    (noise off, interpret mode).
+
+    Tolerance note (measured): run_seg jits AROUND the already-jitted
+    kernel runner, and XLA CPU re-fuses the inlined program with
+    different FMA/reassociation choices — a ~1-ulp wobble that the
+    NON-CONTRACTIVE theta-extrapolated primal-dual iteration amplifies
+    ~2.5-4x per step (f64: 5e-13 at 4 steps -> 8e-7 relative at 24;
+    f32: ~3e-3). Exact-trajectory gates live where both sides share a
+    compile context: the bit-identical resume below, and the eager
+    tiled-vs-whole-image parity in tests/test_ulpda_tiled.py. The
+    cross-context comparison here gates at the measured wobble ceiling
+    (the xprev handoff keeps the segment boundary itself exact)."""
+    from lmc_atomi_tpu.kernels.ulpda_tiled import run_ulpda_tv_tiled
+    from lmc_atomi_tpu.ops.functionals import L21Norm, L2Data
+    from lmc_atomi_tpu.ops.linops import (
+        CirculantBlur2D,
+        Gradient2D,
+        uniform_kernel,
+    )
+    from lmc_atomi_tpu.run.longrun import run_resumable_fused
+    from lmc_atomi_tpu.utils.images import phantom
+
+    n = 128
+    img = jnp.asarray(phantom(n), jnp.float64)
+    blur = CirculantBlur2D.from_kernel((n, n), uniform_kernel(5, jnp.float64))
+    y = blur.matvec(img)
+    l2 = L2Data.create(op=blur, b=y, sigma=1 / 0.75**2)
+    tau = 0.95 / l2.sigma
+    kw = dict(noise_scale=0.0, interpret=True, block=4, band=32, halo=16,
+              niter_solve=3)
+    key = jax.random.PRNGKey(1)
+    x0 = jnp.zeros((n, n), jnp.float64)
+
+    straight = run_resumable_fused(
+        l2, 0.3, tau, 1.0, x0, key, total_steps=24, segment_steps=8,
+        burn_in=4, runner="ulpda_tiled", **kw
+    )
+    ckpt = str(tmp_path / "ulpda_tiled.ckpt")
+    run_resumable_fused(
+        l2, 0.3, tau, 1.0, x0, key, total_steps=8, segment_steps=8,
+        burn_in=4, ckpt_path=ckpt, runner="ulpda_tiled", **kw
+    )
+    resumed = run_resumable_fused(
+        l2, 0.3, tau, 1.0, x0, key, total_steps=24, segment_steps=8,
+        burn_in=4, ckpt_path=ckpt, runner="ulpda_tiled", **kw
+    )
+    np.testing.assert_array_equal(
+        np.asarray(resumed["position"]), np.asarray(straight["position"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(resumed["ulpda_extras"][0]),
+        np.asarray(straight["ulpda_extras"][0]),
+    )
+    assert int(resumed["moments"].count) == 20
+    # the segmented run equals ONE direct run of the same length (the
+    # xbar -> x_prev inversion at each segment boundary costs roundoff)
+    direct = run_ulpda_tv_tiled(
+        l2, L21Norm(sigma=0.3), Gradient2D(), tau, 1.0, x0, key, 24,
+        burn_in=4, **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(resumed["position"]),
+        np.asarray(direct.final_state.position), rtol=1e-5, atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(resumed["moments"].mean),
+        np.asarray(direct.moments.mean), rtol=1e-5, atol=2e-4,
+    )
+    # the HBM-paged P^2 stream rides through primal-dual checkpoints
+    tq = run_resumable_fused(
+        l2, 0.3, tau, 1.0, x0, key, total_steps=16, segment_steps=8,
+        burn_in=4, runner="ulpda_tiled", quantiles=(0.5,), **kw
+    )
+    direct_q = run_ulpda_tv_tiled(
+        l2, L21Norm(sigma=0.3), Gradient2D(), tau, 1.0, x0, key, 16,
+        burn_in=4, quantiles=(0.5,), **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(tq["quantiles"][0.5]),
+        np.asarray(direct_q.quantiles[0.5]), rtol=1e-3, atol=0.5,
+    )
