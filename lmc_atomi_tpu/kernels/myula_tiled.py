@@ -29,8 +29,11 @@ the real image, reproducing the whole-image Neumann boundary exactly
 f32 tolerance; tests/test_myula_tiled.py).
 
 Same sampling semantics as ``run_myula_tv_fused`` (cold per-step TV
-prox, in-kernel Welford with burn-in masking, on-core Box-Muller noise);
-plain-TV mode only. Reference anchor: the MYULA iteration of
+prox, in-kernel Welford with burn-in masking, on-core Box-Muller noise),
+including the isotropic L2NcvxTV data terms — MC-TV adds a 2-row
+forward-difference correction per band, ME-TV a cold ``niter_inner``-trip
+Moreau-envelope prox (both inside the halo's propagation budget, see
+``_halo_need``). Reference anchor: the MYULA iteration of
 /root/reference/algs.py:477-587 at 4x the reference's maximum problem
 area (prox_lmc_deconv.py:52 stops at 512^2).
 """
@@ -48,7 +51,9 @@ from lmc_atomi_tpu.core.stats import RunningMoments
 from lmc_atomi_tpu.kernels.myula_fused import (
     FusedChainResult,
     _box_muller2,
+    _fused_mode,
     _fused_params,
+    _grad_div_ops,
     _key_seed,
     _marker_band_rows,
     _p2_hbm_pass,
@@ -73,6 +78,19 @@ def pick_band(ny: int, halo: int) -> int:
 
 def _round8(v: int) -> int:
     return (v + 7) // 8 * 8
+
+
+def _halo_need(niter_tv: int, oy: int, mode: str, niter_inner: int) -> int:
+    """Rows the tile seam's wrap contamination can travel in one step: the
+    per-step operators act on the SAME tile read (not composed), so the
+    requirement is the max of their depths — TV prox ``niter_tv + 1``,
+    gram ``oy``, MC-TV correction 2, ME-TV inner prox ``niter_inner + 1``."""
+    need = max(niter_tv + 1, oy)
+    if mode == "mctv":
+        need = max(need, 2)
+    elif mode == "metv":
+        need = max(need, niter_inner + 1)
+    return need
 
 
 def _read_tile(ref, b: int, band: int, halo: int, ny: int, pl):
@@ -120,6 +138,7 @@ def _tiled_kernel(
     *scratch,
     taps, oy, ox, n_steps, niter_tv, tv_step, band, halo,
     with_noise, tv_solver, quantiles, quantile_thin,
+    mode="tv", niter_inner=0,
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -136,6 +155,9 @@ def _tiled_kernel(
     tv_gamma = scal_ref[2]
     noise_scale = scal_ref[3]
     gscale = scal_ref[4]
+    if mode != "tv":
+        lamda = scal_ref[5]  # nonconvex-prior weight (L2NcvxTV.lamda)
+        gamma_mc = scal_ref[6]  # Moreau-envelope gamma (L2NcvxTV.gamma)
     step0 = int_ref[0]
     burn = int_ref[1]
     cnt0 = int_ref[2]
@@ -215,6 +237,24 @@ def _tiled_kernel(
             xt = _read_tile(src_ref, b, band, halo, ny, pl)
             masks = _band_masks(b, n_bands, band, halo, nx, dtype)
             grad = gscale * _sep_gram(xt, taps, oy, ox, pltpu)
+            if mode == "mctv":
+                # MC-TV concave term, identical math to the whole-image
+                # kernel (myula_fused._block_kernel): the correction's
+                # 2-row stencil is inside every legal halo, and the band
+                # masks keep the image's Neumann boundary exact
+                fwd_y, fwd_x, dvg = _grad_div_ops(xt.shape, masks, pltpu)
+                gy = fwd_y(xt)
+                gx = fwd_x(xt)
+                mag = jnp.sqrt(gy * gy + gx * gx)
+                mag = jnp.where(mag != 0.0, mag, 1e-9)
+                clamp = jnp.minimum(1.0 / gamma_mc, 1.0 / mag)
+                grad = grad + lamda * dvg(clamp * gy, clamp * gx)
+            elif mode == "metv":
+                # ME-TV concave term: cold Moreau-envelope prox per step
+                # (no cross-step env-dual warm start in the tiled kernel
+                # — its dual would be another resident whole-image pair)
+                p = prox_tv(xt, gamma_mc, masks, niter_inner, ts, pltpu)
+                grad = grad - (lamda / gamma_mc) * (xt - p)
             tvp = prox_tv(xt, tv_gamma, masks, niter_tv, ts, pltpu)
             upd = (1.0 - tau / gamma) * xt - tau * grad + (tau / gamma) * tvp
             x_new = (
@@ -268,7 +308,7 @@ def _tiled_kernel(
     static_argnames=(
         "taps", "oy", "ox", "n_steps", "niter_tv", "tv_step", "band",
         "halo", "with_noise", "tv_solver", "quantiles", "quantile_thin",
-        "interpret",
+        "mode", "niter_inner", "interpret",
     ),
 )
 def myula_tv_tiled_update(
@@ -277,6 +317,7 @@ def myula_tv_tiled_update(
     tv_step: float = 0.25, band: int, halo: int,
     with_noise: bool = True, tv_solver: str = "chambolle",
     quantiles: Tuple[float, ...] = (), quantile_thin: int = 1,
+    mode: str = "tv", niter_inner: int = 0,
     interpret: bool = False,
 ):
     """``n_steps`` (even) tiled fused MYULA TV steps + in-kernel Welford.
@@ -299,10 +340,14 @@ def myula_tv_tiled_update(
         raise ValueError(f"band={band} must divide ny={ny} with >= 2 bands")
     if band % 2 or band % 8:
         raise ValueError(f"band={band} must be a multiple of 8")
-    if halo % 8 or halo < max(niter_tv + 1, oy):
+    halo_need = _halo_need(niter_tv, oy, mode, niter_inner)
+    if halo % 8 or halo < halo_need:
         raise ValueError(
-            f"halo={halo} must be a multiple of 8 and >= "
-            f"max(niter_tv + 1, oy) = {max(niter_tv + 1, oy)}"
+            f"halo={halo} must be a multiple of 8 and >= {halo_need} "
+            f"(max over the TV prox's niter_tv + 1, the gram radius oy"
+            + (", the ME-TV inner prox's niter_inner + 1"
+               if mode == "metv" else "")
+            + ")"
         )
     if band + 2 * halo > ny:
         raise ValueError(
@@ -326,7 +371,7 @@ def myula_tv_tiled_update(
         taps=taps, oy=oy, ox=ox, n_steps=n_steps, niter_tv=niter_tv,
         tv_step=tv_step, band=band, halo=halo, with_noise=with_noise,
         tv_solver=tv_solver, quantiles=quantiles,
-        quantile_thin=quantile_thin,
+        quantile_thin=quantile_thin, mode=mode, niter_inner=niter_inner,
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -401,12 +446,11 @@ def run_myula_tv_tiled(
     whole-image kernel to f32 roundoff (tests/test_myula_tiled.py gates
     this)."""
     taps, (oy, ox), atbs = _fused_params(l2, tv_sigma, tau, gamma, niter_tv)
-    if hasattr(l2, "lamda"):
-        raise ValueError("tiled fused MYULA supports plain TV only")
+    mode, lamda, gamma_mc, niter_inner = _fused_mode(l2)
     x0 = jnp.asarray(x0)
     ny, nx = x0.shape
     if halo is None:
-        halo = _round8(max(niter_tv + 1, oy, 8))
+        halo = _round8(max(_halo_need(niter_tv, oy, mode, niter_inner), 8))
     if band is None:
         band = pick_band(ny, halo)
     if block is None:
@@ -420,7 +464,7 @@ def run_myula_tv_tiled(
     key = as_key(key)
 
     scal_f = _pack_scal_f(
-        l2, tau, gamma, tv_sigma, noise_scale, 0.0, 1.0, x0.dtype
+        l2, tau, gamma, tv_sigma, noise_scale, lamda, gamma_mc, x0.dtype
     )
 
     quantiles = tuple(float(p) for p in quantiles)
@@ -451,7 +495,8 @@ def run_myula_tv_tiled(
             taps=taps, oy=oy, ox=ox, n_steps=block, niter_tv=niter_tv,
             band=band, halo=halo, with_noise=noise_scale != 0.0,
             tv_solver=tv_solver, quantiles=quantiles,
-            quantile_thin=quantile_thin, interpret=interpret,
+            quantile_thin=quantile_thin, mode=mode,
+            niter_inner=niter_inner, interpret=interpret,
         )
         return (x, mean, m2, qh, qn), None
 

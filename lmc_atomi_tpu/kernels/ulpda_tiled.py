@@ -38,8 +38,11 @@ matches ``run_ulpda_fused`` to f32 roundoff / ~1e-11 in f64
 whole-image kernel (noise is drawn band-by-band), so noisy runs are
 statistically — not bit — equal.
 
-Supported configuration: plain-TV mode only (``proxf`` an ``L2Data``
-over a ``CirculantBlur2D``), Gradient2D dual (``L21Norm`` isotropic or
+Supported configuration: ``proxf`` an ``L2Data`` OR an isotropic
+``L2NcvxTV`` (MC-TV / ME-TV concave corrections applied to the
+pre-solve primal argument per band, cold envelope prox — see
+``_ulpda_halo_need`` for the composed seam-depth accounting) over a
+``CirculantBlur2D``, Gradient2D dual (``L21Norm`` isotropic or
 ``L1Norm`` anisotropic), both ``gfirst`` orders, constant tau/mu.
 
 VMEM budget: five resident whole-image fields (x + parity partner +
@@ -61,9 +64,11 @@ from lmc_atomi_tpu.kernels.imaging import ULPDAExtras
 from lmc_atomi_tpu.kernels.myula_fused import (
     FusedChainResult,
     _box_muller2,
+    _grad_div_ops,
     _key_seed,
     _marker_band_rows,
     _p2_hbm_pass,
+    _tv_prox,
 )
 from lmc_atomi_tpu.kernels.myula_tiled import (
     _band_masks,
@@ -79,6 +84,17 @@ from lmc_atomi_tpu.kernels.ulpda_fused import (
 
 __all__ = ["ulpda_tv_tiled_update", "run_ulpda_tv_tiled"]
 
+
+def _ulpda_halo_need(niter_solve: int, oy: int, mode: str,
+                     niter_inner: int) -> int:
+    """One primal pass's seam-contamination depth: the nonconvex
+    correction COMPOSES with the divergence roll (depth 1) before the
+    Chebyshev solve's ``niter_solve`` gram applications (depth oy each) —
+    unlike the MYULA tiling, where all per-step operators read the same
+    tile in parallel."""
+    corr = {"tv": 0, "mctv": 2}.get(mode, niter_inner + 1)
+    return niter_solve * oy + 1 + corr
+
 # five resident whole-image fields + band temporaries: the whole-image
 # kernels' 96 MiB allowance is too small at 2048^2, the core's usable
 # scoped VMEM is ~120 MiB (measured: a 121.64 MiB stack is refused)
@@ -91,7 +107,7 @@ def _ulpda_tiled_kernel(
     xo_ref, xpo_ref, pyo_ref, pxo_ref, meano_ref, m2o_ref, qho_ref, qno_ref,
     *scratch,
     taps, oy, ox, lam, n_steps, niter_solve, band, halo, gfirst, dual,
-    with_noise, quantiles, quantile_thin,
+    with_noise, quantiles, quantile_thin, mode="tv", niter_inner=0,
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -110,6 +126,9 @@ def _ulpda_tiled_kernel(
     noise_scale = scal_ref[3]
     sigma = scal_ref[4]
     g_sigma = scal_ref[5]
+    if mode != "tv":
+        lamda = scal_ref[6]  # nonconvex-prior weight (L2NcvxTV.lamda)
+        gamma_mc = scal_ref[7]  # Moreau-envelope gamma (L2NcvxTV.gamma)
     step0 = int_ref[0]
     burn = int_ref[1]
     cnt0 = int_ref[2]
@@ -222,8 +241,25 @@ def _ulpda_tiled_kernel(
             # plain periodic divergence: the stored-zeros invariant stands
             # in for the whole-image kernel's boundary masks (module doc)
             dv = (pyt - pltpu.roll(pyt, 1, 0)) + (pxt - pltpu.roll(pxt, 1, 1))
-            rhs = xt + tau * dv + ts * _read_tile(atb_ref, b, band, halo,
-                                                  ny, pl)
+            v = xt + tau * dv
+            if mode != "tv":
+                # L2NcvxTV concave-part linearization on the tile, same
+                # math as ulpda_fused._ulpda_kernel.prox_f (cold envelope
+                # prox — no cross-step dual warm start in the tiled path)
+                masks = _band_masks(b, n_bands, band, halo, nx, dtype)
+                if mode == "mctv":
+                    fwd_y, fwd_x, dvg = _grad_div_ops(v.shape, masks, pltpu)
+                    gy = fwd_y(v)
+                    gx = fwd_x(v)
+                    mag = jnp.sqrt(gy * gy + gx * gx)
+                    mag = jnp.where(mag != 0.0, mag, 1e-9)
+                    clamp = jnp.minimum(1.0 / gamma_mc, 1.0 / mag)
+                    v = v - tau * lamda * dvg(clamp * gy, clamp * gx)
+                else:  # metv
+                    p = _tv_prox(v, gamma_mc, masks, niter_inner, 0.25,
+                                 pltpu)
+                    v = v + (tau * lamda / gamma_mc) * (v - p)
+            rhs = v + ts * _read_tile(atb_ref, b, band, halo, ny, pl)
             u = _chebyshev_gram_solve(
                 rhs, xt, ts, lam, taps, oy, ox, niter_solve, pltpu
             )
@@ -281,7 +317,7 @@ def _ulpda_tiled_kernel(
     static_argnames=(
         "taps", "oy", "ox", "lam", "n_steps", "niter_solve", "band",
         "halo", "gfirst", "dual", "with_noise", "quantiles",
-        "quantile_thin", "interpret",
+        "quantile_thin", "mode", "niter_inner", "interpret",
     ),
 )
 def ulpda_tv_tiled_update(
@@ -289,7 +325,8 @@ def ulpda_tv_tiled_update(
     taps, oy: int, ox: int, lam: float, n_steps: int, niter_solve: int = 3,
     band: int, halo: int, gfirst: bool = False, dual: str = "l21",
     with_noise: bool = True, quantiles: Tuple[float, ...] = (),
-    quantile_thin: int = 1, interpret: bool = False,
+    quantile_thin: int = 1, mode: str = "tv", niter_inner: int = 0,
+    interpret: bool = False,
 ):
     """``n_steps`` (even) tiled fused ULPDA TV steps + in-kernel Welford.
 
@@ -310,10 +347,12 @@ def ulpda_tv_tiled_update(
         raise ValueError(f"band={band} must divide ny={ny} with >= 2 bands")
     if band % 8:
         raise ValueError(f"band={band} must be a multiple of 8")
-    if halo % 8 or halo < niter_solve * oy + 1:
+    halo_need = _ulpda_halo_need(niter_solve, oy, mode, niter_inner)
+    if halo % 8 or halo < halo_need:
         raise ValueError(
-            f"halo={halo} must be a multiple of 8 and >= "
-            f"niter_solve * oy + 1 = {niter_solve * oy + 1}"
+            f"halo={halo} must be a multiple of 8 and >= {halo_need} "
+            f"(niter_solve * oy + 1, plus the nonconvex correction's "
+            f"depth for mode={mode!r})"
         )
     if band + 2 * halo > ny:
         raise ValueError(
@@ -337,7 +376,7 @@ def ulpda_tv_tiled_update(
         taps=taps, oy=oy, ox=ox, lam=lam, n_steps=n_steps,
         niter_solve=niter_solve, band=band, halo=halo, gfirst=gfirst,
         dual=dual, with_noise=with_noise, quantiles=quantiles,
-        quantile_thin=quantile_thin,
+        quantile_thin=quantile_thin, mode=mode, niter_inner=niter_inner,
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -412,24 +451,24 @@ def run_ulpda_tv_tiled(
     optional streaming P^2 ``quantiles`` (HBM-paged, amortized by
     ``quantile_thin``).
 
-    Same chain semantics as ``run_ulpda_fused`` restricted to plain TV
-    (``proxf`` an ``L2Data``; dual ``L21Norm``/``L1Norm`` over
-    ``Gradient2D``); with ``noise_scale=0`` the trajectories match the
+    Same chain semantics as ``run_ulpda_fused`` with a ``Gradient2D``
+    dual (``proxf`` an ``L2Data`` or isotropic ``L2NcvxTV``, dual
+    ``L21Norm``/``L1Norm``); with ``noise_scale=0`` the trajectories match the
     whole-image kernel to roundoff (tests/test_ulpda_tiled.py). ``y0`` /
     ``xbar0`` resume a handed-off dual/extrapolation state; ``xprev0``
     (the returned ``extras.xprev``) takes precedence over ``xbar0`` and
     makes the resume BIT-exact — the ``xbar -> x_prev`` inversion costs
     a rounding that the theta-extrapolated iteration amplifies."""
-    (taps, (oy, ox), atb, mode, lamda, gamma_mc, _ni, dual,
+    (taps, (oy, ox), atb, mode, lamda, gamma_mc, niter_inner, dual,
      lam, levels) = _ulpda_setup(proxf, proxg, a_op, tau, mu)
-    if mode != "tv":
-        raise ValueError("tiled fused ULPDA supports plain TV only")
     if dual == "wl1":
         raise ValueError("tiled fused ULPDA supports Gradient2D duals only")
     x0 = jnp.asarray(x0)
     ny, nx = x0.shape
     if halo is None:
-        halo = _round8(max(niter_solve * oy + 1, 8))
+        halo = _round8(
+            max(_ulpda_halo_need(niter_solve, oy, mode, niter_inner), 8)
+        )
     if band is None:
         band = pick_band(ny, halo)
     if block is None:
@@ -490,7 +529,8 @@ def run_ulpda_tv_tiled(
             taps=taps, oy=oy, ox=ox, lam=lam, n_steps=block,
             niter_solve=niter_solve, band=band, halo=halo, gfirst=gfirst,
             dual=dual, with_noise=noise_scale != 0.0, quantiles=quantiles,
-            quantile_thin=quantile_thin, interpret=interpret,
+            quantile_thin=quantile_thin, mode=mode,
+            niter_inner=niter_inner, interpret=interpret,
         )
         return (x, xp, py, px, mean, m2, qh, qn), None
 

@@ -35,6 +35,20 @@ LEDGER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                       "..", "fig", "r4_measurements", "tiled_rows.jsonl")
 
 
+def _as_ncvx(l2, which):
+    """Wrap the deblur data term in an isotropic L2NcvxTV (MC-TV keeps a
+    Gradient2D op2; ME-TV a 10-trip Moreau-envelope prox), reference
+    parameters of experiments/deconv.py's M2/M3 rows."""
+    from lmc_atomi_tpu.ops.linops import Gradient2D
+    from lmc_atomi_tpu.ops.ncvx_tv import L2NcvxTV
+
+    return L2NcvxTV(
+        op=l2.op, b=l2.b, op2=Gradient2D() if which == "mctv" else None,
+        sigma=l2.sigma, lamda=0.3, gamma=15.0, isotropic=True,
+        niter_inner=10,
+    )
+
+
 def _problem(n):
     sig = 0.75
     img = jnp.asarray(phantom(n), jnp.float32)
@@ -59,12 +73,14 @@ def main(steps: int = 4000, burn: int = 1000):
                 done.add(row["config"])
     want = sys.argv[1].split(",") if len(sys.argv) > 1 else None
 
-    def run_row(label, n, fn, **kw):
+    def run_row(label, n, fn, ncvx=None, **kw):
         if label in done or (want is not None
                              and not any(label.startswith(w)
                                          for w in want)):
             return
         img, l2, tau, gamma = _problem(n)
+        if ncvx is not None:
+            l2 = _as_ncvx(l2, ncvx)
         interp = jax.default_backend() != "tpu"
         f = jax.jit(lambda x, k: fn(
             l2, 0.3, tau, gamma, x, k, steps, block=200, burn_in=burn,
@@ -88,7 +104,7 @@ def main(steps: int = 4000, burn: int = 1000):
             f2.write(json.dumps(row) + "\n")
         print(f"{label:28s} {ips:8.0f} iters/s  psnr={p:.3f}", flush=True)
 
-    def run_ulpda_row(label, n, **kw):
+    def run_ulpda_row(label, n, ncvx=None, **kw):
         """ULPDA rows share the ledger/selection logic but build the
         primal-dual problem (kernels/ulpda_tiled.py)."""
         if label in done or (want is not None
@@ -101,6 +117,8 @@ def main(steps: int = 4000, burn: int = 1000):
 
         img, l2, _, _ = _problem(n)
         tau = 0.95 / l2.sigma
+        if ncvx is not None:
+            l2 = _as_ncvx(l2, ncvx)
         interp = jax.default_backend() != "tpu"
         f = jax.jit(lambda x, k: run_ulpda_tv_tiled(
             l2, L21Norm(sigma=0.3), Gradient2D(), tau, 1.0, x, k, steps,
@@ -137,6 +155,17 @@ def main(steps: int = 4000, burn: int = 1000):
     # fields, Chebyshev-3 gram solve (measured frontier default)
     run_ulpda_row("ulpda tiled 2048 band=256", 2048, band=256)
     run_ulpda_row("ulpda tiled 1024 band=256", 1024, band=256)
+    # nonconvex data terms at the tiled scale (round-5 extension): the
+    # MC-TV correction adds a 2-row stencil per band; ME-TV a cold
+    # 10-trip envelope prox (ULPDA's composes pre-solve -> halo 24)
+    run_row("tiled 2048 mctv band=256", 2048, run_myula_tv_tiled,
+            ncvx="mctv", band=256)
+    run_row("tiled 2048 metv band=256", 2048, run_myula_tv_tiled,
+            ncvx="metv", band=256)
+    run_ulpda_row("ulpda tiled 2048 mctv band=256", 2048, ncvx="mctv",
+                  band=256)
+    run_ulpda_row("ulpda tiled 2048 metv band=256", 2048, ncvx="metv",
+                  band=256)
 
     print(json.dumps({"workload": "tiled_myula", "steps": steps,
                       "rows": rows}))

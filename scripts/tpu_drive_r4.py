@@ -43,6 +43,9 @@ STAGES = [
     ("tiled_4096", 3600, [PY, "scripts/bench_tiled_2048.py",
                           "tiled 4096"]),
     ("ulpda_tiled", 3600, [PY, "scripts/bench_tiled_2048.py", "ulpda"]),
+    ("tiled_ncvx", 3600, [PY, "scripts/bench_tiled_2048.py",
+                          "tiled 2048 mctv,tiled 2048 metv,"
+                          "ulpda tiled 2048 m"]),
     ("mesh_stochastic", 600, [PY, "scripts/mesh_stochastic_probe.py"]),
     ("ct256_long", 3600, [
         PY, "-m", "lmc_atomi_tpu.experiments.ct", "--size", "256",

@@ -176,3 +176,56 @@ class TestTiledEquality:
         with pytest.raises(ValueError, match="band"):
             run_myula_tv_tiled(l2, 0.3, TAU, GAMMA, x0, key, 12, band=100,
                                noise_scale=0.0, interpret=True)
+
+
+class TestTiledNcvx:
+    """Tiled MC-TV / ME-TV data terms (round-5 extension): with noise off
+    the tiled kernel must reproduce the whole-image fused kernel's
+    nonconvex trajectories exactly — this gates the per-band concave
+    correction (2-row MC-TV stencil / cold ME-TV envelope prox) against
+    the halo budget of _halo_need."""
+
+    @staticmethod
+    def _ncvx(which, dtype):
+        from lmc_atomi_tpu.ops.linops import Gradient2D
+        from lmc_atomi_tpu.ops.ncvx_tv import L2NcvxTV
+
+        img = jnp.asarray(phantom(N), dtype)
+        blur = CirculantBlur2D.from_kernel((N, N), uniform_kernel(5, dtype))
+        y = blur.matvec(img)
+        op2 = Gradient2D() if which == "mctv" else None
+        return L2NcvxTV(op=blur, b=y, op2=op2, sigma=1 / 0.75**2,
+                        lamda=0.3, gamma=15.0, isotropic=True,
+                        niter_inner=10)
+
+    @pytest.mark.parametrize("which", ["mctv", "metv"])
+    def test_matches_whole_image_f32(self, which):
+        l2 = self._ncvx(which, jnp.float32)
+        ref = _run(run_myula_tv_fused, l2, jnp.float32)
+        out = _run(run_myula_tv_tiled, l2, jnp.float32, band=32, halo=16)
+        assert jnp.allclose(
+            out.final_state.position, ref.final_state.position, atol=5e-4
+        )
+        assert jnp.allclose(out.moments.mean, ref.moments.mean, atol=5e-4)
+        assert int(out.moments.count) == int(ref.moments.count)
+
+    @pytest.mark.parametrize("which", ["mctv", "metv"])
+    def test_exact_in_f64(self, which):
+        l2 = self._ncvx(which, jnp.float64)
+        ref = _run(run_myula_tv_fused, l2, jnp.float64)
+        out = _run(run_myula_tv_tiled, l2, jnp.float64, band=32, halo=16)
+        assert jnp.allclose(
+            out.final_state.position, ref.final_state.position, atol=1e-11
+        )
+        assert jnp.allclose(out.moments.mean, ref.moments.mean, atol=1e-11)
+        assert jnp.allclose(out.moments.m2, ref.moments.m2, atol=1e-9)
+
+    def test_metv_halo_validation(self):
+        """ME-TV raises the halo floor to niter_inner + 1."""
+        l2 = self._ncvx("metv", jnp.float32)
+        x0 = jnp.zeros((N, N), jnp.float32)
+        with pytest.raises(ValueError, match="halo"):
+            run_myula_tv_tiled(
+                l2, 0.3, TAU, GAMMA, x0, jax.random.PRNGKey(0), 12,
+                niter_tv=4, halo=8, noise_scale=0.0, interpret=True,
+            )

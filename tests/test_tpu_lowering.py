@@ -186,6 +186,26 @@ class TestTiledMyulaLowering:
             x0, KEY,
         )
 
+    @pytest.mark.parametrize("which", ["mctv", "metv"])
+    def test_tiled_ncvx(self, deblur, x0, which):
+        """Per-band concave corrections (round-5 extension) through the
+        full Mosaic pipeline."""
+        from lmc_atomi_tpu.kernels.myula_tiled import run_myula_tv_tiled
+
+        _, blur, y, _ = deblur
+        nc = L2NcvxTV(
+            op=blur, b=y, op2=Gradient2D() if which == "mctv" else None,
+            sigma=1 / 0.75**2, lamda=0.3, gamma=2.0, niter_inner=4,
+            isotropic=True,
+        )
+        _lower_tpu(
+            lambda x, k: run_myula_tv_tiled(
+                nc, 0.3, TAU, GAMMA, x, k, 8, block=4, burn_in=2,
+                band=16, halo=16, niter_tv=8,
+            ).moments.mean,
+            x0, KEY,
+        )
+
 
 class TestTiledUlpdaLowering:
     def test_tiled_moments(self, deblur, x0):
@@ -212,6 +232,30 @@ class TestTiledUlpdaLowering:
                 l2, L21Norm(sigma=0.3), Gradient2D(), 0.95 / l2.sigma, 1.0,
                 x, k, 8, block=4, burn_in=2, niter_solve=3, band=16,
                 halo=16, quantiles=(0.025, 0.975), quantile_thin=2,
+            ).moments.mean,
+            x0, KEY,
+        )
+
+    @pytest.mark.parametrize("which", ["mctv", "metv"])
+    def test_tiled_ncvx(self, deblur, x0, which):
+        """Pre-solve concave corrections composed with the Chebyshev
+        primal pass (round-5 extension), full Mosaic pipeline."""
+        from lmc_atomi_tpu.kernels.ulpda_tiled import run_ulpda_tv_tiled
+
+        _, blur, y, _ = deblur
+        nc = L2NcvxTV(
+            op=blur, b=y, op2=Gradient2D() if which == "mctv" else None,
+            sigma=1 / 0.75**2, lamda=0.3, gamma=2.0, niter_inner=4,
+            isotropic=True,
+        )
+        proxg = (L1Norm(sigma=0.3) if which == "mctv"
+                 else L21Norm(sigma=0.3))
+        # metv seam depth = niter_solve * oy + 1 + niter_inner + 1 = 18
+        _lower_tpu(
+            lambda x, k: run_ulpda_tv_tiled(
+                nc, proxg, Gradient2D(), 0.95 / nc.sigma, 1.0,
+                x, k, 8, block=4, burn_in=2, niter_solve=3, band=16,
+                halo=16 if which == "mctv" else 24,
             ).moments.mean,
             x0, KEY,
         )

@@ -165,3 +165,67 @@ class TestTiledQuantiles:
                 np.asarray(a.quantiles[p]), np.asarray(b.quantiles[p]),
                 atol=1e-12,
             )
+
+
+class TestTiledNcvx:
+    """Tiled MC-TV / ME-TV data terms (round-5 extension): the concave
+    correction composes with the divergence roll BEFORE the Chebyshev
+    solve, so its seam depth adds to the solver's (_ulpda_halo_need);
+    noise-free parity with the whole-image fused kernel gates that
+    accounting."""
+
+    @staticmethod
+    def _ncvx(which, dtype):
+        from lmc_atomi_tpu.ops.ncvx_tv import L2NcvxTV
+
+        img = jnp.asarray(phantom(N), dtype)
+        blur = CirculantBlur2D.from_kernel((N, N), uniform_kernel(5, dtype))
+        y = blur.matvec(img)
+        op2 = Gradient2D() if which == "mctv" else None
+        proxg = L1Norm(sigma=0.3) if which == "mctv" else L21Norm(sigma=0.3)
+        proxf = L2NcvxTV(op=blur, b=y, op2=op2, sigma=1 / 0.75**2,
+                         lamda=0.3, gamma=15.0, isotropic=True,
+                         niter_inner=10)
+        tau = 0.95 * 0.75**2
+        return proxf, proxg, tau, 1.0
+
+    @pytest.mark.parametrize("which,band,halo", [
+        ("mctv", 32, 16),   # need 3*2 + 1 + 2 = 9
+        ("metv", 16, 24),   # need 3*2 + 1 + 11 = 18
+    ])
+    def test_matches_whole_image_f32(self, which, band, halo):
+        proxf, proxg, tau, mu = self._ncvx(which, jnp.float32)
+        ref = _run(run_ulpda_fused, proxf, proxg, jnp.float32, tau, mu)
+        out = _run(run_ulpda_tv_tiled, proxf, proxg, jnp.float32, tau, mu,
+                   band=band, halo=halo)
+        assert jnp.allclose(
+            out.final_state.position, ref.final_state.position, atol=5e-4
+        )
+        assert jnp.allclose(
+            out.final_state.extras.y, ref.final_state.extras.y, atol=5e-5
+        )
+        assert jnp.allclose(out.moments.mean, ref.moments.mean, atol=5e-4)
+
+    @pytest.mark.parametrize("which,band,halo", [
+        ("mctv", 32, 16),
+        ("metv", 16, 24),
+    ])
+    def test_exact_in_f64(self, which, band, halo):
+        proxf, proxg, tau, mu = self._ncvx(which, jnp.float64)
+        ref = _run(run_ulpda_fused, proxf, proxg, jnp.float64, tau, mu)
+        out = _run(run_ulpda_tv_tiled, proxf, proxg, jnp.float64, tau, mu,
+                   band=band, halo=halo)
+        assert jnp.allclose(
+            out.final_state.position, ref.final_state.position, atol=1e-11
+        )
+        assert jnp.allclose(
+            out.final_state.extras.y, ref.final_state.extras.y, atol=1e-12
+        )
+        assert jnp.allclose(out.moments.mean, ref.moments.mean, atol=1e-11)
+
+    def test_metv_halo_validation(self):
+        """ME-TV's inner prox raises the halo floor past the solver's."""
+        proxf, proxg, tau, mu = self._ncvx("metv", jnp.float32)
+        with pytest.raises(ValueError, match="halo"):
+            _run(run_ulpda_tv_tiled, proxf, proxg, jnp.float32, tau, mu,
+                 band=32, halo=16)
