@@ -61,7 +61,7 @@ def _problem(n):
 
 
 def main(steps: int = 4000, burn: int = 1000):
-    rows, done = [], set()
+    rows, done = [], {}
     ledger = LEDGER
     if jax.default_backend() != "tpu":
         ledger = os.devnull  # CPU smoke rows must not mask chip rows
@@ -70,14 +70,55 @@ def main(steps: int = 4000, burn: int = 1000):
             for line in f:
                 row = json.loads(line)
                 rows.append(row)
-                done.add(row["config"])
+                done[row["config"]] = row
+
     want = sys.argv[1].split(",") if len(sys.argv) > 1 else None
 
+    def _persist(row):
+        rows.append(row)
+        os.makedirs(os.path.dirname(os.path.abspath(ledger)), exist_ok=True)
+        with open(ledger, "a") as f2:
+            f2.write(json.dumps(row) + "\n")
+
+    def _measure(label, n, img, timed):
+        """Run `timed` twice (compile+warm, then measure); a compile
+        failure (e.g. a VMEM overflow at this band geometry) is recorded
+        as an error row — itself a measurement of the config's ceiling —
+        so later rows and re-runs proceed. Returns True iff measured."""
+        x0 = jnp.zeros_like(img)
+        key = jax.random.PRNGKey(1)
+        try:
+            out = timed(x0, key)
+            jax.block_until_ready(out.moments.mean)
+            t0 = time.perf_counter()
+            out = timed(x0, key)
+            jax.block_until_ready(out.moments.mean)
+            ips = steps / (time.perf_counter() - t0)
+            p = float(psnr(img, out.moments.mean))
+        except Exception as e:  # noqa: BLE001 — classify, then continue
+            msg = str(e)
+            permanent = any(s in msg for s in (
+                "Ran out of memory", "RESOURCE_EXHAUSTED",
+                "tpu_compile_helper subprocess exit code",
+                "Mosaic failed",
+            ))
+            if not permanent:
+                raise  # tunnel flap etc. — let the driver retry the stage
+            cut = msg.find("Ran out of memory")
+            msg = (msg[cut:cut + 120] if cut >= 0 else msg[:200])
+            _persist({"config": label, "n": n, "error": msg})
+            print(f"{label:28s} FAILED: {msg}", flush=True)
+            return False
+        _persist({"config": label, "n": n, "iters_per_sec": round(ips, 1),
+                  "psnr_mean": round(p, 3)})
+        print(f"{label:28s} {ips:8.0f} iters/s  psnr={p:.3f}", flush=True)
+        return True
+
     def run_row(label, n, fn, ncvx=None, **kw):
-        if label in done or (want is not None
-                             and not any(label.startswith(w)
-                                         for w in want)):
-            return
+        if want is not None and not any(label.startswith(w) for w in want):
+            return None
+        if label in done:
+            return "error" not in done[label]
         img, l2, tau, gamma = _problem(n)
         if ncvx is not None:
             l2 = _as_ncvx(l2, ncvx)
@@ -87,30 +128,15 @@ def main(steps: int = 4000, burn: int = 1000):
             tv_solver="fgp", niter_tv=8, interpret=interp,
             noise_scale=0.0 if interp else 1.0, **kw,
         ))
-        x0 = jnp.zeros_like(img)
-        key = jax.random.PRNGKey(1)
-        out = f(x0, key)
-        jax.block_until_ready(out.moments.mean)
-        t0 = time.perf_counter()
-        out = f(x0, key)
-        jax.block_until_ready(out.moments.mean)
-        ips = steps / (time.perf_counter() - t0)
-        p = float(psnr(img, out.moments.mean))
-        row = {"config": label, "n": n, "iters_per_sec": round(ips, 1),
-               "psnr_mean": round(p, 3)}
-        rows.append(row)
-        os.makedirs(os.path.dirname(os.path.abspath(ledger)), exist_ok=True)
-        with open(ledger, "a") as f2:
-            f2.write(json.dumps(row) + "\n")
-        print(f"{label:28s} {ips:8.0f} iters/s  psnr={p:.3f}", flush=True)
+        return _measure(label, n, img, f)
 
     def run_ulpda_row(label, n, ncvx=None, **kw):
         """ULPDA rows share the ledger/selection logic but build the
         primal-dual problem (kernels/ulpda_tiled.py)."""
-        if label in done or (want is not None
-                             and not any(label.startswith(w)
-                                         for w in want)):
-            return
+        if want is not None and not any(label.startswith(w) for w in want):
+            return None
+        if label in done:
+            return "error" not in done[label]
         from lmc_atomi_tpu.kernels.ulpda_tiled import run_ulpda_tv_tiled
         from lmc_atomi_tpu.ops.functionals import L21Norm
         from lmc_atomi_tpu.ops.linops import Gradient2D
@@ -125,47 +151,56 @@ def main(steps: int = 4000, burn: int = 1000):
             block=200, burn_in=burn, niter_solve=3, interpret=interp,
             noise_scale=0.0 if interp else 1.0, **kw,
         ))
-        x0 = jnp.zeros_like(img)
-        key = jax.random.PRNGKey(1)
-        out = f(x0, key)
-        jax.block_until_ready(out.moments.mean)
-        t0 = time.perf_counter()
-        out = f(x0, key)
-        jax.block_until_ready(out.moments.mean)
-        ips = steps / (time.perf_counter() - t0)
-        p = float(psnr(img, out.moments.mean))
-        row = {"config": label, "n": n, "iters_per_sec": round(ips, 1),
-               "psnr_mean": round(p, 3)}
-        rows.append(row)
-        os.makedirs(os.path.dirname(os.path.abspath(ledger)), exist_ok=True)
-        with open(ledger, "a") as f2:
-            f2.write(json.dumps(row) + "\n")
-        print(f"{label:28s} {ips:8.0f} iters/s  psnr={p:.3f}", flush=True)
+        return _measure(label, n, img, f)
 
-    run_row("tiled 2048 band=512", 2048, run_myula_tv_tiled, band=512)
-    run_row("tiled 2048 band=256", 2048, run_myula_tv_tiled, band=256)
-    run_row("tiled 2048 CI thin=8", 2048, run_myula_tv_tiled, band=256,
-            quantiles=(0.025, 0.975), quantile_thin=8)
-    run_row("tiled 1024 band=512", 1024, run_myula_tv_tiled, band=512)
+    # band sweep with automatic fallback: a too-tall band overflows VMEM
+    # at compile time (band=512 at 2048^2 measured 150.9M vs the 128M
+    # core) — the error row records the ceiling, the next band runs
+    if run_row("tiled 2048 band=512", 2048, run_myula_tv_tiled,
+               band=512) is False:
+        pass  # error row recorded; 256/128 below are the usable configs
+    ok256 = run_row("tiled 2048 band=256", 2048, run_myula_tv_tiled,
+                    band=256)
+    if ok256 is False:
+        run_row("tiled 2048 band=128", 2048, run_myula_tv_tiled, band=128)
+    if run_row("tiled 2048 CI thin=8", 2048, run_myula_tv_tiled, band=256,
+               quantiles=(0.025, 0.975), quantile_thin=8) is False:
+        run_row("tiled 2048 CI thin=8 b128", 2048, run_myula_tv_tiled,
+                band=128, quantiles=(0.025, 0.975), quantile_thin=8)
+    if run_row("tiled 1024 band=512", 1024, run_myula_tv_tiled,
+               band=512) is False:
+        run_row("tiled 1024 band=256", 1024, run_myula_tv_tiled, band=256)
     run_row("whole-image 1024", 1024, run_myula_tv_fused)
     # 4096^2 = 16x the whole-image ceiling; working set is still only
     # x (2 parities) + A^T b in VMEM bands, everything else HBM-streamed
-    run_row("tiled 4096 band=256", 4096, run_myula_tv_tiled, band=256)
+    if run_row("tiled 4096 band=256", 4096, run_myula_tv_tiled,
+               band=256) is False:
+        run_row("tiled 4096 band=128", 4096, run_myula_tv_tiled, band=128)
     # primal-dual tiled flagship (kernels/ulpda_tiled.py): five resident
     # fields, Chebyshev-3 gram solve (measured frontier default)
-    run_ulpda_row("ulpda tiled 2048 band=256", 2048, band=256)
+    if run_ulpda_row("ulpda tiled 2048 band=256", 2048,
+                     band=256) is False:
+        run_ulpda_row("ulpda tiled 2048 band=128", 2048, band=128)
     run_ulpda_row("ulpda tiled 1024 band=256", 1024, band=256)
     # nonconvex data terms at the tiled scale (round-5 extension): the
     # MC-TV correction adds a 2-row stencil per band; ME-TV a cold
     # 10-trip envelope prox (ULPDA's composes pre-solve -> halo 24)
-    run_row("tiled 2048 mctv band=256", 2048, run_myula_tv_tiled,
-            ncvx="mctv", band=256)
-    run_row("tiled 2048 metv band=256", 2048, run_myula_tv_tiled,
-            ncvx="metv", band=256)
-    run_ulpda_row("ulpda tiled 2048 mctv band=256", 2048, ncvx="mctv",
-                  band=256)
-    run_ulpda_row("ulpda tiled 2048 metv band=256", 2048, ncvx="metv",
-                  band=256)
+    if run_row("tiled 2048 mctv band=256", 2048, run_myula_tv_tiled,
+               ncvx="mctv", band=256) is False:
+        run_row("tiled 2048 mctv band=128", 2048, run_myula_tv_tiled,
+                ncvx="mctv", band=128)
+    if run_row("tiled 2048 metv band=256", 2048, run_myula_tv_tiled,
+               ncvx="metv", band=256) is False:
+        run_row("tiled 2048 metv band=128", 2048, run_myula_tv_tiled,
+                ncvx="metv", band=128)
+    if run_ulpda_row("ulpda tiled 2048 mctv band=256", 2048, ncvx="mctv",
+                     band=256) is False:
+        run_ulpda_row("ulpda tiled 2048 mctv band=128", 2048, ncvx="mctv",
+                      band=128)
+    if run_ulpda_row("ulpda tiled 2048 metv band=256", 2048, ncvx="metv",
+                     band=256) is False:
+        run_ulpda_row("ulpda tiled 2048 metv band=128", 2048, ncvx="metv",
+                      band=128)
 
     print(json.dumps({"workload": "tiled_myula", "steps": steps,
                       "rows": rows}))
