@@ -17,6 +17,19 @@ tile-sized, keeping only the chain state resident:
   myula_fused._p2_hbm_pass): ~64 MiB/step of HBM traffic against ~0.5 ms
   of VPU work at 2048^2 — fully overlapped.
 
+Past 2048^2 even the resident set (x in/out windows + parity partner +
+atbs, 4 whole-image fields) exceeds the core, so ``stream_x=True``
+(auto past the VMEM budget) moves x, atbs and BOTH step-parity buffers
+to HBM and pages tile-sized slots through double-buffered VMEM with the
+same slot/semaphore discipline as the moments: per band, the tile
+(band + 2 halo rows, <= 2 wrap segments) DMAs in from the parity-source
+buffer, the updated band rows DMA out to the parity-destination buffer,
+and the noise/Welford stream is unchanged — band-by-band draw order is
+identical, so streamed and resident chains are the SAME chain (bitwise
+in f64 interpret; tests/test_myula_tiled.py gates it). This lifts the
+ceiling to HBM capacity: 4096^2 needs ~6 x 64 MiB of HBM and ~50 MiB of
+VMEM slots at band=256.
+
 Tiles carry a ``halo`` of neighbour rows on each side so the band
 interior is EXACT: the separable gram (radius ``oy``) and each TV dual
 trip propagate information one row per application, so
@@ -138,7 +151,7 @@ def _tiled_kernel(
     *scratch,
     taps, oy, ox, n_steps, niter_tv, tv_step, band, halo,
     with_noise, tv_solver, quantiles, quantile_thin,
-    mode="tv", niter_inner=0,
+    mode="tv", niter_inner=0, stream_x=False,
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -146,7 +159,10 @@ def _tiled_kernel(
     ny, nx = x_ref.shape
     n_bands = ny // band
     n_q = len(quantiles)
-    if n_q:
+    if stream_x:
+        # 6th output (the HBM parity partner) precedes the true scratch
+        xs_ref, xt_s, xo_s, ab_s, mean_s, m2_s, sems, sems_x = scratch
+    elif n_q:
         xs_ref, mean_s, m2_s, sems, qh_s, qn_s, sems_q = scratch
     else:
         xs_ref, mean_s, m2_s, sems = scratch
@@ -167,7 +183,12 @@ def _tiled_kernel(
     # further reads and read-modify-writes go through the outputs (an
     # input ref is not guaranteed to reflect writes to its aliased
     # output, and mean/m2/markers are NOT aliased)
-    xo_ref[:] = x_ref[:]
+    if stream_x:
+        init_x = pltpu.make_async_copy(x_ref, xo_ref, sems_x.at[0, 0])
+        init_x.start()
+        init_x.wait()
+    else:
+        xo_ref[:] = x_ref[:]
     init_m = pltpu.make_async_copy(mean_ref, meano_ref, sems.at[0, 0])
     init_v = pltpu.make_async_copy(m2_ref, m2o_ref, sems.at[0, 1])
     init_m.start()
@@ -222,8 +243,43 @@ def _tiled_kernel(
         n_new = cnt0 + jnp.maximum(g + 1 - jnp.maximum(burn, step0), 0)
         denom = jnp.maximum(n_new, 1).astype(dtype)
 
+        def dma_x_in(slot, b):
+            # tile rows [b*band - halo, (b+1)*band + halo) of the
+            # HBM-resident src, periodic wrap as <= 2 static segments
+            lo = b * band - halo
+            tile = band + 2 * halo
+            if lo < 0:
+                segs = [(ny + lo, -lo), (0, tile + lo)]
+            elif lo + tile > ny:
+                segs = [(lo, ny - lo), (0, lo + tile - ny)]
+            else:
+                segs = [(lo, tile)]
+            cps = []
+            off = 0
+            for i, (s, nrow) in enumerate(segs):
+                cps.append(pltpu.make_async_copy(
+                    src_ref.at[pl.ds(s, nrow)],
+                    xt_s.at[slot, pl.ds(off, nrow)],
+                    sems_x.at[slot, i],
+                ))
+                off += nrow
+            cps.append(pltpu.make_async_copy(
+                atbs_ref.at[pl.ds(b * band, band)], ab_s.at[slot],
+                sems_x.at[slot, 2],
+            ))
+            return cps
+
+        def dma_x_out(slot, b):
+            return [pltpu.make_async_copy(
+                xo_s.at[slot], dst_ref.at[pl.ds(b * band, band)],
+                sems_x.at[slot, 3],
+            )]
+
         for d in dma_in(0, 0):
             d.start()
+        if stream_x:
+            for d in dma_x_in(0, 0):
+                d.start()
         for b in range(n_bands):
             slot = b % 2
             nxt = (b + 1) % 2
@@ -232,9 +288,20 @@ def _tiled_kernel(
                     # slot `nxt` still holds band b-1's outbound copy
                     for d in dma_out(nxt, b - 1):
                         d.wait()
+                    if stream_x:
+                        for d in dma_x_out(nxt, b - 1):
+                            d.wait()
                 for d in dma_in(nxt, b + 1):
                     d.start()
-            xt = _read_tile(src_ref, b, band, halo, ny, pl)
+                if stream_x:
+                    for d in dma_x_in(nxt, b + 1):
+                        d.start()
+            if stream_x:
+                for d in dma_x_in(slot, b):
+                    d.wait()
+                xt = xt_s[slot]
+            else:
+                xt = _read_tile(src_ref, b, band, halo, ny, pl)
             masks = _band_masks(b, n_bands, band, halo, nx, dtype)
             grad = gscale * _sep_gram(xt, taps, oy, ox, pltpu)
             if mode == "mctv":
@@ -259,12 +326,18 @@ def _tiled_kernel(
             upd = (1.0 - tau / gamma) * xt - tau * grad + (tau / gamma) * tvp
             x_new = (
                 jax.lax.slice_in_dim(upd, halo, halo + band, axis=0)
-                + tau * atbs_ref[pl.ds(b * band, band), :]
+                + tau * (ab_s[slot] if stream_x
+                         else atbs_ref[pl.ds(b * band, band), :])
             )
             if with_noise:
                 z1, z2 = _box_muller2((band // 2, nx), dtype, pltpu)
                 x_new = x_new + noise_amp * jnp.concatenate([z1, z2], 0)
-            dst_ref[pl.ds(b * band, band), :] = x_new
+            if stream_x:
+                xo_s[slot] = x_new
+                for d in dma_x_out(slot, b):
+                    d.start()
+            else:
+                dst_ref[pl.ds(b * band, band), :] = x_new
             for d in dma_in(slot, b):
                 d.wait()
             delta = x_new - mean_s[slot]
@@ -278,6 +351,9 @@ def _tiled_kernel(
                 # drain before the next step re-reads the same HBM rows
                 for d in dma_out(b % 2, b):
                     d.wait()
+                if stream_x:
+                    for d in dma_x_out(b % 2, b):
+                        d.wait()
         if n_q:
             # streaming P^2 quantiles on the recorded steps: the marker
             # pass (myula_fused._p2_hbm_pass) pages the HBM marker fields
@@ -308,7 +384,7 @@ def _tiled_kernel(
     static_argnames=(
         "taps", "oy", "ox", "n_steps", "niter_tv", "tv_step", "band",
         "halo", "with_noise", "tv_solver", "quantiles", "quantile_thin",
-        "mode", "niter_inner", "interpret",
+        "mode", "niter_inner", "stream_x", "interpret",
     ),
 )
 def myula_tv_tiled_update(
@@ -318,6 +394,7 @@ def myula_tv_tiled_update(
     with_noise: bool = True, tv_solver: str = "chambolle",
     quantiles: Tuple[float, ...] = (), quantile_thin: int = 1,
     mode: str = "tv", niter_inner: int = 0,
+    stream_x: bool = False,
     interpret: bool = False,
 ):
     """``n_steps`` (even) tiled fused MYULA TV steps + in-kernel Welford.
@@ -354,6 +431,12 @@ def myula_tv_tiled_update(
             f"tile = band + 2*halo = {band + 2 * halo} exceeds ny={ny}: "
             "a tile may wrap the image at most once"
         )
+    if stream_x and quantiles:
+        raise NotImplementedError(
+            "stream_x=True keeps x in HBM, but the P^2 marker pass needs "
+            "the whole updated image in VMEM — use the resident kernel "
+            "(images <= 2048^2) for in-kernel quantiles"
+        )
 
     seed_tile = jnp.zeros((1, 128), jnp.int32)
     seed_tile = seed_tile.at[0, :2].set(jnp.asarray(seed, jnp.int32))
@@ -372,43 +455,67 @@ def myula_tv_tiled_update(
         tv_step=tv_step, band=band, halo=halo, with_noise=with_noise,
         tv_solver=tv_solver, quantiles=quantiles,
         quantile_thin=quantile_thin, mode=mode, niter_inner=niter_inner,
+        stream_x=stream_x,
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     hbm = pl.BlockSpec(memory_space=pl.ANY)
     marker_spec = hbm if n_q else vmem
-    scratch_shapes = [
-        pltpu.VMEM((ny, nx), x.dtype),           # parity partner
-        pltpu.VMEM((2, band, nx), x.dtype),      # mean band slots
-        pltpu.VMEM((2, band, nx), x.dtype),      # m2 band slots
-        pltpu.SemaphoreType.DMA((2, 4)),
+    x_spec = hbm if stream_x else vmem
+    out_shape = [
+        jax.ShapeDtypeStruct(x.shape, x.dtype),
+        jax.ShapeDtypeStruct(x.shape, x.dtype),
+        jax.ShapeDtypeStruct(x.shape, x.dtype),
+        jax.ShapeDtypeStruct(qh_shape, x.dtype),
+        jax.ShapeDtypeStruct(qn_shape, x.dtype),
     ]
-    if n_q:
-        band_m = _marker_band_rows(x.shape)
-        scratch_shapes += [
-            pltpu.VMEM((2, 5 * n_q, band_m, nx), x.dtype),
-            pltpu.VMEM((2, 3 * n_q, band_m, nx), x.dtype),
+    out_specs = [x_spec, hbm, hbm, marker_spec, marker_spec]
+    if stream_x:
+        # streamed layout: x, atbs and BOTH parity buffers live in HBM;
+        # only tile-sized slots page through VMEM. The parity partner is
+        # an extra (discarded) output — Pallas scratch cannot live in ANY
+        tile = band + 2 * halo
+        out_shape.append(jax.ShapeDtypeStruct(x.shape, x.dtype))
+        out_specs.append(hbm)
+        scratch_shapes = [
+            pltpu.VMEM((2, tile, nx), x.dtype),      # tile in slots
+            pltpu.VMEM((2, band, nx), x.dtype),      # x out staging
+            pltpu.VMEM((2, band, nx), x.dtype),      # atbs band slots
+            pltpu.VMEM((2, band, nx), x.dtype),      # mean band slots
+            pltpu.VMEM((2, band, nx), x.dtype),      # m2 band slots
+            pltpu.SemaphoreType.DMA((2, 4)),
             pltpu.SemaphoreType.DMA((2, 4)),
         ]
-    return pl.pallas_call(
+        aliases = {}
+    else:
+        scratch_shapes = [
+            pltpu.VMEM((ny, nx), x.dtype),           # parity partner
+            pltpu.VMEM((2, band, nx), x.dtype),      # mean band slots
+            pltpu.VMEM((2, band, nx), x.dtype),      # m2 band slots
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ]
+        if n_q:
+            band_m = _marker_band_rows(x.shape)
+            scratch_shapes += [
+                pltpu.VMEM((2, 5 * n_q, band_m, nx), x.dtype),
+                pltpu.VMEM((2, 3 * n_q, band_m, nx), x.dtype),
+                pltpu.SemaphoreType.DMA((2, 4)),
+            ]
+        aliases = {0: 0}
+    out = pl.pallas_call(
         kern,
-        out_shape=(
-            jax.ShapeDtypeStruct(x.shape, x.dtype),
-            jax.ShapeDtypeStruct(x.shape, x.dtype),
-            jax.ShapeDtypeStruct(x.shape, x.dtype),
-            jax.ShapeDtypeStruct(qh_shape, x.dtype),
-            jax.ShapeDtypeStruct(qn_shape, x.dtype),
-        ),
-        in_specs=[vmem, vmem, hbm, hbm, marker_spec, marker_spec, vmem,
-                  smem, smem],
-        out_specs=(vmem, hbm, hbm, marker_spec, marker_spec),
-        input_output_aliases={0: 0},
+        out_shape=tuple(out_shape),
+        in_specs=[x_spec, x_spec, hbm, hbm, marker_spec, marker_spec,
+                  vmem, smem, smem],
+        out_specs=tuple(out_specs),
+        input_output_aliases=aliases,
         scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT_BYTES
         ),
         interpret=interpret,
     )(x, atbs, mean, m2, qh, qn, seed_tile, scal_f, scal_i)
+    return out[:5]
 
 
 def run_myula_tv_tiled(
@@ -432,6 +539,7 @@ def run_myula_tv_tiled(
     quantile_thin: int = 1,
     quantile_state=None,
     step_offset: int = 0,
+    stream_x: Optional[bool] = None,
 ):
     """Block-tiled fused MYULA chain for images past the whole-image VMEM
     ceiling (2048^2 and the like).
@@ -453,6 +561,16 @@ def run_myula_tv_tiled(
         halo = _round8(max(_halo_need(niter_tv, oy, mode, niter_inner), 8))
     if band is None:
         band = pick_band(ny, halo)
+    if stream_x is None:
+        # resident layout keeps ~4 whole-image fields in VMEM (x in/out
+        # windows, the parity scratch, atbs) — past 2048^2 f32 that alone
+        # exceeds the core, so switch to the HBM-streamed layout
+        stream_x = 4 * ny * nx * x0.dtype.itemsize > _VMEM_LIMIT_BYTES
+    if stream_x and quantiles:
+        raise NotImplementedError(
+            "in-kernel quantiles need the resident tiled kernel "
+            "(stream_x=False, images <= 2048^2)"
+        )
     if block is None:
         block = min(n_steps, 256)
     block -= block % 2
@@ -496,7 +614,8 @@ def run_myula_tv_tiled(
             band=band, halo=halo, with_noise=noise_scale != 0.0,
             tv_solver=tv_solver, quantiles=quantiles,
             quantile_thin=quantile_thin, mode=mode,
-            niter_inner=niter_inner, interpret=interpret,
+            niter_inner=niter_inner, stream_x=stream_x,
+            interpret=interpret,
         )
         return (x, mean, m2, qh, qn), None
 

@@ -171,11 +171,20 @@ def main(steps: int = 4000, burn: int = 1000):
                band=512) is False:
         run_row("tiled 1024 band=256", 1024, run_myula_tv_tiled, band=256)
     run_row("whole-image 1024", 1024, run_myula_tv_fused)
-    # 4096^2 = 16x the whole-image ceiling; working set is still only
-    # x (2 parities) + A^T b in VMEM bands, everything else HBM-streamed
+    # 4096^2 = 16x the whole-image ceiling. The RESIDENT tiled layout
+    # cannot compile here (x in/out windows + parity partner + atbs are
+    # 4 x 64 MiB whole-image VMEM fields): run_myula_tv_tiled
+    # auto-selects stream_x=True, which keeps x/atbs/both parities in
+    # HBM and pages tile slots through VMEM
     if run_row("tiled 4096 band=256", 4096, run_myula_tv_tiled,
                band=256) is False:
         run_row("tiled 4096 band=128", 4096, run_myula_tv_tiled, band=128)
+    # streamed-vs-resident overhead where BOTH compile: quantifies what
+    # the 4096^2 row pays for HBM-resident x
+    if run_row("tiled 2048 stream band=256", 2048, run_myula_tv_tiled,
+               band=256, stream_x=True) is False:
+        run_row("tiled 2048 stream band=128", 2048, run_myula_tv_tiled,
+                band=128, stream_x=True)
     # primal-dual tiled flagship (kernels/ulpda_tiled.py): five resident
     # fields, Chebyshev-3 gram solve (measured frontier default)
     if run_ulpda_row("ulpda tiled 2048 band=256", 2048,

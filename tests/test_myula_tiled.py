@@ -229,3 +229,64 @@ class TestTiledNcvx:
                 l2, 0.3, TAU, GAMMA, x0, jax.random.PRNGKey(0), 12,
                 niter_tv=4, halo=8, noise_scale=0.0, interpret=True,
             )
+
+
+class TestStreamedX:
+    """HBM-streamed x/atbs layout (stream_x=True) vs the resident tiled
+    kernel: the band loop draws noise and applies updates in the same
+    order, so the two layouts are the SAME chain — f64 agreement to
+    accumulation roundoff gates the tile DMA (wrap segments), the atbs
+    band slots, and the parity-buffer staging all at once."""
+
+    def test_exact_in_f64(self):
+        l2 = _problem(jnp.float64)
+        res = _run(run_myula_tv_tiled, l2, jnp.float64, band=32, halo=16,
+                   stream_x=False)
+        out = _run(run_myula_tv_tiled, l2, jnp.float64, band=32, halo=16,
+                   stream_x=True)
+        assert jnp.allclose(
+            out.final_state.position, res.final_state.position, atol=1e-12
+        )
+        assert jnp.allclose(out.moments.mean, res.moments.mean, atol=1e-12)
+        assert jnp.allclose(out.moments.m2, res.moments.m2, atol=1e-10)
+        assert int(out.moments.count) == int(res.moments.count)
+
+    def test_matches_whole_image_f32(self):
+        """Transitively: streamed == resident == whole-image kernel."""
+        l2 = _problem(jnp.float32)
+        ref = _run(run_myula_tv_fused, l2, jnp.float32)
+        out = _run(run_myula_tv_tiled, l2, jnp.float32, band=32, halo=16,
+                   stream_x=True)
+        assert jnp.allclose(
+            out.final_state.position, ref.final_state.position, atol=5e-4
+        )
+        assert jnp.allclose(out.moments.mean, ref.moments.mean, atol=5e-4)
+
+    @pytest.mark.parametrize("which", ["mctv", "metv"])
+    def test_ncvx_exact_in_f64(self, which):
+        l2 = TestTiledNcvx._ncvx(which, jnp.float64)
+        res = _run(run_myula_tv_tiled, l2, jnp.float64, band=32, halo=16,
+                   stream_x=False)
+        out = _run(run_myula_tv_tiled, l2, jnp.float64, band=32, halo=16,
+                   stream_x=True)
+        assert jnp.allclose(
+            out.final_state.position, res.final_state.position, atol=1e-12
+        )
+
+    def test_wrap_segment_geometry(self):
+        """band + 2*halo == ny: every tile wraps — both DMA segment
+        branches (lo < 0 and lo + tile > ny) are exercised."""
+        l2 = _problem(jnp.float64)
+        res = _run(run_myula_tv_tiled, l2, jnp.float64, band=64, halo=32,
+                   stream_x=False)
+        out = _run(run_myula_tv_tiled, l2, jnp.float64, band=64, halo=32,
+                   stream_x=True)
+        assert jnp.allclose(
+            out.final_state.position, res.final_state.position, atol=1e-12
+        )
+
+    def test_quantiles_rejected(self):
+        l2 = _problem(jnp.float32)
+        with pytest.raises(NotImplementedError, match="resident"):
+            _run(run_myula_tv_tiled, l2, jnp.float32, band=32, halo=16,
+                 stream_x=True, quantiles=(0.5,))

@@ -186,6 +186,22 @@ class TestTiledMyulaLowering:
             x0, KEY,
         )
 
+    def test_tiled_streamed(self, deblur, x0):
+        """HBM-streamed x layout (stream_x=True, the 4096^2 path): the
+        lowering risks are the tile DMA's <=2 wrap segments per band and
+        the staged band write-back to the HBM parity buffer."""
+        from lmc_atomi_tpu.kernels.myula_tiled import run_myula_tv_tiled
+
+        _, _, _, l2 = deblur
+        _lower_tpu(
+            lambda x, k: run_myula_tv_tiled(
+                l2, 0.3, TAU, GAMMA, x, k, 8, block=4, burn_in=2,
+                band=16, halo=16, tv_solver="fgp", niter_tv=8,
+                stream_x=True,
+            ).moments.mean,
+            x0, KEY,
+        )
+
     @pytest.mark.parametrize("which", ["mctv", "metv"])
     def test_tiled_ncvx(self, deblur, x0, which):
         """Per-band concave corrections (round-5 extension) through the
