@@ -45,9 +45,17 @@ pre-solve primal argument per band, cold envelope prox — see
 ``CirculantBlur2D``, Gradient2D dual (``L21Norm`` isotropic or
 ``L1Norm`` anisotropic), both ``gfirst`` orders, constant tau/mu.
 
-VMEM budget: five resident whole-image fields (x + parity partner +
-py + px + A^T b) = 80 MiB at 2048^2 f32 — inside the core with the
-band temporaries, 4x the whole-image ULPDA's ceiling.
+VMEM budget: the resident layout's five whole-image input fields
+(x + parity partner + py + px + A^T b) plus the four aliased output
+windows are ~9 windows the TPU compiler counts separately — MEASURED
+176-191M at 2048^2 f32 for every band (fig/r4_measurements/
+ulpda_tiled.log), so the resident ceiling is 1024^2 (38M of windows),
+4x the whole-image ULPDA's. Past that, ``stream_x=True`` (auto) moves
+all five state fields to HBM and pages tile-sized slots through
+double-buffered VMEM in both passes (the dual band update is a pure
+band-rows read-modify-write; x parities and atb ride <= 2-segment wrap
+tile DMAs) — the band-by-band draw order is unchanged, so streamed and
+resident are the same chain.
 """
 from __future__ import annotations
 
@@ -108,6 +116,7 @@ def _ulpda_tiled_kernel(
     *scratch,
     taps, oy, ox, lam, n_steps, niter_solve, band, halo, gfirst, dual,
     with_noise, quantiles, quantile_thin, mode="tv", niter_inner=0,
+    stream_x=False,
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -116,7 +125,10 @@ def _ulpda_tiled_kernel(
     n_bands = ny // band
     tile = band + 2 * halo
     n_q = len(quantiles)
-    if n_q:
+    if stream_x:
+        (xt_s, xt2_s, pyt_s, pxt_s, ab_s, xo_s, pyo_s, pxo_s,
+         mean_s, m2_s, sems, sems_x) = scratch
+    elif n_q:
         mean_s, m2_s, sems, qh_s, qn_s, sems_q = scratch
     else:
         mean_s, m2_s, sems = scratch
@@ -136,10 +148,22 @@ def _ulpda_tiled_kernel(
 
     # prologue: land the incoming state in the output buffers (cf.
     # myula_tiled — all reads and read-modify-writes go through outputs)
-    xo_ref[:] = x_ref[:]
-    xpo_ref[:] = xp_ref[:]
-    pyo_ref[:] = py_ref[:]
-    pxo_ref[:] = px_ref[:]
+    if stream_x:
+        init_st = [
+            pltpu.make_async_copy(x_ref, xo_ref, sems_x.at[0, 0]),
+            pltpu.make_async_copy(xp_ref, xpo_ref, sems_x.at[0, 1]),
+            pltpu.make_async_copy(py_ref, pyo_ref, sems_x.at[0, 2]),
+            pltpu.make_async_copy(px_ref, pxo_ref, sems_x.at[0, 3]),
+        ]
+        for c in init_st:
+            c.start()
+        for c in init_st:
+            c.wait()
+    else:
+        xo_ref[:] = x_ref[:]
+        xpo_ref[:] = xp_ref[:]
+        pyo_ref[:] = py_ref[:]
+        pxo_ref[:] = px_ref[:]
     init_m = pltpu.make_async_copy(mean_ref, meano_ref, sems.at[0, 0])
     init_v = pltpu.make_async_copy(m2_ref, m2o_ref, sems.at[0, 1])
     init_m.start()
@@ -169,29 +193,110 @@ def _ulpda_tiled_kernel(
             jnp.clip(cx, -g_sigma, g_sigma),
         )
 
+    def _tile_copies(src, dst_slots, slot, b, ch0):
+        """DMA the wrap-read tile rows of HBM ``src`` into
+        ``dst_slots[slot]`` (<= 2 static segments, semaphore channels
+        ``ch0``/``ch0+1``)."""
+        lo = b * band - halo
+        if lo < 0:
+            segs = [(ny + lo, -lo), (0, tile + lo)]
+        elif lo + tile > ny:
+            segs = [(lo, ny - lo), (0, lo + tile - ny)]
+        else:
+            segs = [(lo, tile)]
+        cps, off = [], 0
+        for i, (s, nrow) in enumerate(segs):
+            cps.append(pltpu.make_async_copy(
+                src.at[pl.ds(s, nrow)],
+                dst_slots.at[slot, pl.ds(off, nrow)],
+                sems_x.at[slot, ch0 + i],
+            ))
+            off += nrow
+        return cps
+
     def dual_pass(new_ref, old_ref):
         # p' = proj(p + mu * grad(xbar)), xbar = (1+theta) new - theta old.
         # Row-local in the duals: update bands in place. The _band_masks
         # row/col masks zero the gradient at the image's Neumann boundary,
         # maintaining the stored-zeros invariant the primal pass's plain
         # periodic divergence reads rely on.
+        if stream_x:
+            # streamed: x parities tile-DMA in; dual bands are a pure
+            # band-rows read-modify-write (the update is row-local)
+            def dma_d_in(slot, b):
+                return (
+                    _tile_copies(new_ref, xt_s, slot, b, 0)
+                    + _tile_copies(old_ref, xt2_s, slot, b, 2)
+                    + [
+                        pltpu.make_async_copy(
+                            pyo_ref.at[pl.ds(b * band, band)],
+                            pyt_s.at[slot, pl.ds(0, band)],
+                            sems_x.at[slot, 4],
+                        ),
+                        pltpu.make_async_copy(
+                            pxo_ref.at[pl.ds(b * band, band)],
+                            pxt_s.at[slot, pl.ds(0, band)],
+                            sems_x.at[slot, 5],
+                        ),
+                    ]
+                )
+
+            def dma_d_out(slot, b):
+                return [
+                    pltpu.make_async_copy(
+                        pyo_s.at[slot], pyo_ref.at[pl.ds(b * band, band)],
+                        sems_x.at[slot, 8],
+                    ),
+                    pltpu.make_async_copy(
+                        pxo_s.at[slot], pxo_ref.at[pl.ds(b * band, band)],
+                        sems_x.at[slot, 9],
+                    ),
+                ]
+
+            for d in dma_d_in(0, 0):
+                d.start()
         for b in range(n_bands):
-            xn = _read_tile(new_ref, b, band, halo, ny, pl)
-            xo = _read_tile(old_ref, b, band, halo, ny, pl)
+            if stream_x:
+                slot = b % 2
+                nxt = (b + 1) % 2
+                if b + 1 < n_bands:
+                    if b >= 1:
+                        for d in dma_d_out(nxt, b - 1):
+                            d.wait()
+                    for d in dma_d_in(nxt, b + 1):
+                        d.start()
+                for d in dma_d_in(slot, b):
+                    d.wait()
+                xn = xt_s[slot]
+                xo = xt2_s[slot]
+            else:
+                xn = _read_tile(new_ref, b, band, halo, ny, pl)
+                xo = _read_tile(old_ref, b, band, halo, ny, pl)
             xbar = (1.0 + theta) * xn - theta * xo
             my, mx = _band_masks(b, n_bands, band, halo, nx, dtype)
             gy = (pltpu.roll(xbar, tile - 1, 0) - xbar) * my
             gx = (pltpu.roll(xbar, nx - 1, 1) - xbar) * mx
-            sl = pl.ds(b * band, band)
-            cy = pyo_ref[sl, :] + mu * jax.lax.slice_in_dim(
-                gy, halo, halo + band, axis=0
-            )
-            cx = pxo_ref[sl, :] + mu * jax.lax.slice_in_dim(
-                gx, halo, halo + band, axis=0
-            )
-            cy, cx = project(cy, cx)
-            pyo_ref[sl, :] = cy
-            pxo_ref[sl, :] = cx
+            gy_b = mu * jax.lax.slice_in_dim(gy, halo, halo + band, axis=0)
+            gx_b = mu * jax.lax.slice_in_dim(gx, halo, halo + band, axis=0)
+            if stream_x:
+                cy, cx = project(pyt_s[slot, :band] + gy_b,
+                                 pxt_s[slot, :band] + gx_b)
+                pyo_s[slot] = cy
+                pxo_s[slot] = cx
+                for d in dma_d_out(slot, b):
+                    d.start()
+            else:
+                sl = pl.ds(b * band, band)
+                cy, cx = project(pyo_ref[sl, :] + gy_b,
+                                 pxo_ref[sl, :] + gx_b)
+                pyo_ref[sl, :] = cy
+                pxo_ref[sl, :] = cx
+        if stream_x:
+            for b in (n_bands - 2, n_bands - 1):
+                if b >= 0:
+                    # drain before the primal pass re-reads these rows
+                    for d in dma_d_out(b % 2, b):
+                        d.wait()
 
     def dma_in(slot, b):
         return (
@@ -224,8 +329,25 @@ def _ulpda_tiled_kernel(
         n_new = cnt0 + jnp.maximum(g + 1 - jnp.maximum(burn, step0), 0)
         denom = jnp.maximum(n_new, 1).astype(dtype)
 
+        def dma_p_in(slot, b):
+            return (
+                _tile_copies(src_ref, xt_s, slot, b, 0)
+                + _tile_copies(pyo_ref, pyt_s, slot, b, 2)
+                + _tile_copies(pxo_ref, pxt_s, slot, b, 4)
+                + _tile_copies(atb_ref, ab_s, slot, b, 6)
+            )
+
+        def dma_p_out(slot, b):
+            return [pltpu.make_async_copy(
+                xo_s.at[slot], dst_ref.at[pl.ds(b * band, band)],
+                sems_x.at[slot, 8],
+            )]
+
         for d in dma_in(0, 0):
             d.start()
+        if stream_x:
+            for d in dma_p_in(0, 0):
+                d.start()
         for b in range(n_bands):
             slot = b % 2
             nxt = (b + 1) % 2
@@ -233,11 +355,24 @@ def _ulpda_tiled_kernel(
                 if b >= 1:
                     for d in dma_out(nxt, b - 1):
                         d.wait()
+                    if stream_x:
+                        for d in dma_p_out(nxt, b - 1):
+                            d.wait()
                 for d in dma_in(nxt, b + 1):
                     d.start()
-            xt = _read_tile(src_ref, b, band, halo, ny, pl)
-            pyt = _read_tile(pyo_ref, b, band, halo, ny, pl)
-            pxt = _read_tile(pxo_ref, b, band, halo, ny, pl)
+                if stream_x:
+                    for d in dma_p_in(nxt, b + 1):
+                        d.start()
+            if stream_x:
+                for d in dma_p_in(slot, b):
+                    d.wait()
+                xt = xt_s[slot]
+                pyt = pyt_s[slot]
+                pxt = pxt_s[slot]
+            else:
+                xt = _read_tile(src_ref, b, band, halo, ny, pl)
+                pyt = _read_tile(pyo_ref, b, band, halo, ny, pl)
+                pxt = _read_tile(pxo_ref, b, band, halo, ny, pl)
             # plain periodic divergence: the stored-zeros invariant stands
             # in for the whole-image kernel's boundary masks (module doc)
             dv = (pyt - pltpu.roll(pyt, 1, 0)) + (pxt - pltpu.roll(pxt, 1, 1))
@@ -259,7 +394,8 @@ def _ulpda_tiled_kernel(
                     p = _tv_prox(v, gamma_mc, masks, niter_inner, 0.25,
                                  pltpu)
                     v = v + (tau * lamda / gamma_mc) * (v - p)
-            rhs = v + ts * _read_tile(atb_ref, b, band, halo, ny, pl)
+            rhs = v + ts * (ab_s[slot] if stream_x
+                            else _read_tile(atb_ref, b, band, halo, ny, pl))
             u = _chebyshev_gram_solve(
                 rhs, xt, ts, lam, taps, oy, ox, niter_solve, pltpu
             )
@@ -267,7 +403,12 @@ def _ulpda_tiled_kernel(
             if with_noise:
                 z1, z2 = _box_muller2((band // 2, nx), dtype, pltpu)
                 x_new = x_new + noise_amp * jnp.concatenate([z1, z2], 0)
-            dst_ref[pl.ds(b * band, band), :] = x_new
+            if stream_x:
+                xo_s[slot] = x_new
+                for d in dma_p_out(slot, b):
+                    d.start()
+            else:
+                dst_ref[pl.ds(b * band, band), :] = x_new
             for d in dma_in(slot, b):
                 d.wait()
             delta = x_new - mean_s[slot]
@@ -280,6 +421,9 @@ def _ulpda_tiled_kernel(
             if b >= 0:
                 for d in dma_out(b % 2, b):
                     d.wait()
+                if stream_x:
+                    for d in dma_p_out(b % 2, b):
+                        d.wait()
 
     def one_step(g, src_ref, dst_ref):
         if gfirst:
@@ -317,7 +461,7 @@ def _ulpda_tiled_kernel(
     static_argnames=(
         "taps", "oy", "ox", "lam", "n_steps", "niter_solve", "band",
         "halo", "gfirst", "dual", "with_noise", "quantiles",
-        "quantile_thin", "mode", "niter_inner", "interpret",
+        "quantile_thin", "mode", "niter_inner", "stream_x", "interpret",
     ),
 )
 def ulpda_tv_tiled_update(
@@ -326,6 +470,7 @@ def ulpda_tv_tiled_update(
     band: int, halo: int, gfirst: bool = False, dual: str = "l21",
     with_noise: bool = True, quantiles: Tuple[float, ...] = (),
     quantile_thin: int = 1, mode: str = "tv", niter_inner: int = 0,
+    stream_x: bool = False,
     interpret: bool = False,
 ):
     """``n_steps`` (even) tiled fused ULPDA TV steps + in-kernel Welford.
@@ -359,6 +504,12 @@ def ulpda_tv_tiled_update(
             f"tile = band + 2*halo = {band + 2 * halo} exceeds ny={ny}: "
             "a tile may wrap the image at most once"
         )
+    if stream_x and quantiles:
+        raise NotImplementedError(
+            "stream_x=True keeps x in HBM, but the P^2 marker pass needs "
+            "the whole updated image in VMEM — use the resident kernel "
+            "(images <= 1024^2) for in-kernel quantiles"
+        )
 
     seed_tile = jnp.zeros((1, 128), jnp.int32)
     seed_tile = seed_tile.at[0, :2].set(jnp.asarray(seed, jnp.int32))
@@ -377,23 +528,47 @@ def ulpda_tv_tiled_update(
         niter_solve=niter_solve, band=band, halo=halo, gfirst=gfirst,
         dual=dual, with_noise=with_noise, quantiles=quantiles,
         quantile_thin=quantile_thin, mode=mode, niter_inner=niter_inner,
+        stream_x=stream_x,
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     hbm = pl.BlockSpec(memory_space=pl.ANY)
     marker_spec = hbm if n_q else vmem
-    scratch_shapes = [
-        pltpu.VMEM((2, band, nx), x.dtype),      # mean band slots
-        pltpu.VMEM((2, band, nx), x.dtype),      # m2 band slots
-        pltpu.SemaphoreType.DMA((2, 4)),
-    ]
-    if n_q:
-        band_m = _marker_band_rows(x.shape)
-        scratch_shapes += [
-            pltpu.VMEM((2, 5 * n_q, band_m, nx), x.dtype),
-            pltpu.VMEM((2, 3 * n_q, band_m, nx), x.dtype),
+    state_spec = hbm if stream_x else vmem
+    if stream_x:
+        # streamed layout: all five state fields + both dual/parity
+        # buffers live in HBM; tile- and band-sized slots page through
+        # VMEM (no aliases — the prologue DMA-copies state in)
+        tile = band + 2 * halo
+        scratch_shapes = [
+            pltpu.VMEM((2, tile, nx), x.dtype),      # x tiles (src / xn)
+            pltpu.VMEM((2, tile, nx), x.dtype),      # x tiles (dual xo)
+            pltpu.VMEM((2, tile, nx), x.dtype),      # py tiles
+            pltpu.VMEM((2, tile, nx), x.dtype),      # px tiles
+            pltpu.VMEM((2, tile, nx), x.dtype),      # atb tiles
+            pltpu.VMEM((2, band, nx), x.dtype),      # x out staging
+            pltpu.VMEM((2, band, nx), x.dtype),      # py out staging
+            pltpu.VMEM((2, band, nx), x.dtype),      # px out staging
+            pltpu.VMEM((2, band, nx), x.dtype),      # mean band slots
+            pltpu.VMEM((2, band, nx), x.dtype),      # m2 band slots
+            pltpu.SemaphoreType.DMA((2, 4)),
+            pltpu.SemaphoreType.DMA((2, 10)),
+        ]
+        aliases = {}
+    else:
+        scratch_shapes = [
+            pltpu.VMEM((2, band, nx), x.dtype),      # mean band slots
+            pltpu.VMEM((2, band, nx), x.dtype),      # m2 band slots
             pltpu.SemaphoreType.DMA((2, 4)),
         ]
+        if n_q:
+            band_m = _marker_band_rows(x.shape)
+            scratch_shapes += [
+                pltpu.VMEM((2, 5 * n_q, band_m, nx), x.dtype),
+                pltpu.VMEM((2, 3 * n_q, band_m, nx), x.dtype),
+                pltpu.SemaphoreType.DMA((2, 4)),
+            ]
+        aliases = {0: 0, 1: 1, 2: 2, 3: 3}
     return pl.pallas_call(
         kern,
         out_shape=(
@@ -406,11 +581,12 @@ def ulpda_tv_tiled_update(
             jax.ShapeDtypeStruct(qh_shape, x.dtype),
             jax.ShapeDtypeStruct(qn_shape, x.dtype),
         ),
-        in_specs=[vmem, vmem, vmem, vmem, vmem, hbm, hbm, marker_spec,
-                  marker_spec, vmem, smem, smem],
-        out_specs=(vmem, vmem, vmem, vmem, hbm, hbm, marker_spec,
-                   marker_spec),
-        input_output_aliases={0: 0, 1: 1, 2: 2, 3: 3},
+        in_specs=[state_spec, state_spec, state_spec, state_spec,
+                  state_spec, hbm, hbm, marker_spec, marker_spec, vmem,
+                  smem, smem],
+        out_specs=(state_spec, state_spec, state_spec, state_spec,
+                   hbm, hbm, marker_spec, marker_spec),
+        input_output_aliases=aliases,
         scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT_BYTES
@@ -445,6 +621,7 @@ def run_ulpda_tv_tiled(
     y0=None,
     xbar0=None,
     xprev0=None,
+    stream_x: Optional[bool] = None,
 ):
     """Row-band tiled fused ULPDA TV chain for images past the whole-image
     VMEM ceiling (2048^2 and the like), with in-kernel Welford moments and
@@ -471,6 +648,16 @@ def run_ulpda_tv_tiled(
         )
     if band is None:
         band = pick_band(ny, halo)
+    if stream_x is None:
+        # the resident layout pins 9 whole-image windows in VMEM (5 in +
+        # 4 aliased out) — measured 176-191M at 2048^2 f32 for EVERY
+        # band, so past ~1024^2 only the HBM-streamed layout compiles
+        stream_x = 9 * ny * nx * x0.dtype.itemsize > _VMEM_LIMIT_BYTES
+    if stream_x and quantiles:
+        raise NotImplementedError(
+            "in-kernel quantiles need the resident tiled kernel "
+            "(stream_x=False, images <= 1024^2)"
+        )
     if block is None:
         block = min(n_steps, 256)
     block -= block % 2
@@ -530,7 +717,8 @@ def run_ulpda_tv_tiled(
             niter_solve=niter_solve, band=band, halo=halo, gfirst=gfirst,
             dual=dual, with_noise=noise_scale != 0.0, quantiles=quantiles,
             quantile_thin=quantile_thin, mode=mode,
-            niter_inner=niter_inner, interpret=interpret,
+            niter_inner=niter_inner, stream_x=stream_x,
+            interpret=interpret,
         )
         return (x, xp, py, px, mean, m2, qh, qn), None
 

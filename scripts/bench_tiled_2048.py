@@ -185,11 +185,19 @@ def main(steps: int = 4000, burn: int = 1000):
                band=256, stream_x=True) is False:
         run_row("tiled 2048 stream band=128", 2048, run_myula_tv_tiled,
                 band=128, stream_x=True)
-    # primal-dual tiled flagship (kernels/ulpda_tiled.py): five resident
-    # fields, Chebyshev-3 gram solve (measured frontier default)
-    if run_ulpda_row("ulpda tiled 2048 band=256", 2048,
-                     band=256) is False:
-        run_ulpda_row("ulpda tiled 2048 band=128", 2048, band=128)
+    # primal-dual tiled flagship (kernels/ulpda_tiled.py): Chebyshev-3
+    # gram solve (measured frontier default). The RESIDENT layout's 9
+    # whole-image windows measured 176-191M at 2048^2 for every band
+    # (ledger error rows) — 2048^2 runs via the streamed layout; the
+    # resident rows below keep the measured ceiling on record
+    if run_ulpda_row("ulpda tiled 2048 band=256", 2048, band=256,
+                     stream_x=False) is False:
+        run_ulpda_row("ulpda tiled 2048 band=128", 2048, band=128,
+                      stream_x=False)
+    if run_ulpda_row("ulpda tiled 2048 stream band=256", 2048, band=256,
+                     stream_x=True) is False:
+        run_ulpda_row("ulpda tiled 2048 stream band=128", 2048, band=128,
+                      stream_x=True)
     run_ulpda_row("ulpda tiled 1024 band=256", 1024, band=256)
     # nonconvex data terms at the tiled scale (round-5 extension): the
     # MC-TV correction adds a 2-row stencil per band; ME-TV a cold
@@ -202,14 +210,16 @@ def main(steps: int = 4000, burn: int = 1000):
                ncvx="metv", band=256) is False:
         run_row("tiled 2048 metv band=128", 2048, run_myula_tv_tiled,
                 ncvx="metv", band=128)
-    if run_ulpda_row("ulpda tiled 2048 mctv band=256", 2048, ncvx="mctv",
-                     band=256) is False:
-        run_ulpda_row("ulpda tiled 2048 mctv band=128", 2048, ncvx="mctv",
-                      band=128)
-    if run_ulpda_row("ulpda tiled 2048 metv band=256", 2048, ncvx="metv",
-                     band=256) is False:
-        run_ulpda_row("ulpda tiled 2048 metv band=128", 2048, ncvx="metv",
-                      band=128)
+    # ULPDA ncvx at 2048^2 runs the STREAMED layout (the resident error
+    # rows in the ledger are the measured ceiling: 191.4M at band=256)
+    if run_ulpda_row("ulpda tiled 2048 mctv stream", 2048, ncvx="mctv",
+                     band=256, stream_x=True) is False:
+        run_ulpda_row("ulpda tiled 2048 mctv stream b128", 2048,
+                      ncvx="mctv", band=128, stream_x=True)
+    if run_ulpda_row("ulpda tiled 2048 metv stream", 2048, ncvx="metv",
+                     band=256, stream_x=True) is False:
+        run_ulpda_row("ulpda tiled 2048 metv stream b128", 2048,
+                      ncvx="metv", band=128, stream_x=True)
 
     print(json.dumps({"workload": "tiled_myula", "steps": steps,
                       "rows": rows}))

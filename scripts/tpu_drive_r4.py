@@ -45,6 +45,8 @@ STAGES = [
     ("ulpda_tiled", 3600, [PY, "scripts/bench_tiled_2048.py", "ulpda"]),
     ("tiled_stream", 3600, [PY, "scripts/bench_tiled_2048.py",
                             "tiled 2048 stream"]),
+    ("ulpda_stream", 3600, [PY, "scripts/bench_tiled_2048.py",
+                            "ulpda tiled 2048 stream"]),
     ("tiled_ncvx", 3600, [PY, "scripts/bench_tiled_2048.py",
                           "tiled 2048 mctv,tiled 2048 metv,"
                           "ulpda tiled 2048 m"]),

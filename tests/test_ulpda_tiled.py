@@ -229,3 +229,91 @@ class TestTiledNcvx:
         with pytest.raises(ValueError, match="halo"):
             _run(run_ulpda_tv_tiled, proxf, proxg, jnp.float32, tau, mu,
                  band=32, halo=16)
+
+
+class TestStreamedX:
+    """HBM-streamed state layout (stream_x=True, the 2048^2+ path — the
+    resident layout's 9 whole-image VMEM windows measured 176-191M at
+    2048^2, over the core for every band): same chain as the resident
+    kernel. The parity tolerance is the documented cross-compile-context
+    bound, NOT roundoff: XLA re-fuses the two kernel bodies differently
+    at ~1 ulp and the non-contractive theta-extrapolated iteration
+    amplifies it (CLAUDE.md round-5 notes) — streamed-vs-streamed at
+    different block sizes IS bitwise equal (gated below), so the layout
+    itself is exact."""
+
+    @pytest.mark.parametrize("gfirst", [False, True])
+    @pytest.mark.parametrize("dual_norm", ["l21", "l1"])
+    def test_matches_resident_f64(self, gfirst, dual_norm):
+        _, proxf, tau, mu = _problem(jnp.float64)
+        proxg = (L21Norm(sigma=0.3) if dual_norm == "l21"
+                 else L1Norm(sigma=0.3))
+        res = _run(run_ulpda_tv_tiled, proxf, proxg, jnp.float64, tau, mu,
+                   band=16, halo=16, gfirst=gfirst, stream_x=False)
+        out = _run(run_ulpda_tv_tiled, proxf, proxg, jnp.float64, tau, mu,
+                   band=16, halo=16, gfirst=gfirst, stream_x=True)
+        assert jnp.allclose(
+            out.final_state.position, res.final_state.position, atol=1e-9
+        )
+        assert jnp.allclose(
+            out.final_state.extras.y, res.final_state.extras.y, atol=1e-9
+        )
+        assert jnp.allclose(out.moments.mean, res.moments.mean, atol=1e-9)
+        assert int(out.moments.count) == int(res.moments.count)
+
+    def test_streamed_block_invariance_bitwise(self):
+        """Within the streamed program family the chain is EXACT: block=6
+        and block=12 (different scan/fori splits of the same 12 steps)
+        must agree bitwise — this isolates the layout from the
+        compile-context noise the resident comparison is subject to."""
+        _, proxf, tau, mu = _problem(jnp.float64)
+        proxg = L21Norm(sigma=0.3)
+        a = _run(run_ulpda_tv_tiled, proxf, proxg, jnp.float64, tau, mu,
+                 band=16, halo=16, stream_x=True)
+        b = run_ulpda_tv_tiled(
+            proxf, proxg, Gradient2D(), tau, mu,
+            jnp.zeros((N, N), jnp.float64), jax.random.PRNGKey(1), 12,
+            niter_solve=NITER_SOLVE, block=12, burn_in=4, noise_scale=0.0,
+            interpret=True, band=16, halo=16, stream_x=True,
+        )
+        assert float(jnp.max(jnp.abs(
+            a.final_state.position - b.final_state.position))) == 0.0
+        assert float(jnp.max(jnp.abs(
+            a.final_state.extras.y - b.final_state.extras.y))) == 0.0
+
+    def test_wrap_segment_geometry(self):
+        """band + 2*halo == ny: every tile wraps — both DMA segment
+        branches exercised in both passes."""
+        _, proxf, tau, mu = _problem(jnp.float64)
+        proxg = L21Norm(sigma=0.3)
+        res = _run(run_ulpda_tv_tiled, proxf, proxg, jnp.float64, tau, mu,
+                   band=32, halo=16, stream_x=False)
+        out = _run(run_ulpda_tv_tiled, proxf, proxg, jnp.float64, tau, mu,
+                   band=32, halo=16, stream_x=True)
+        assert jnp.allclose(
+            out.final_state.position, res.final_state.position, atol=1e-9
+        )
+
+    def test_quantiles_rejected(self):
+        _, proxf, tau, mu = _problem(jnp.float32)
+        with pytest.raises(NotImplementedError, match="resident"):
+            _run(run_ulpda_tv_tiled, proxf, L21Norm(sigma=0.3),
+                 jnp.float32, tau, mu, band=16, halo=16, stream_x=True,
+                 quantiles=(0.5,))
+
+    @pytest.mark.parametrize("which,band,halo", [
+        ("mctv", 16, 16),
+        ("metv", 16, 24),  # metv halo floor: 3*2 + 1 + (10+1) -> 24
+    ])
+    def test_ncvx_matches_resident_f64(self, which, band, halo):
+        proxf, proxg, tau, mu = TestTiledNcvx._ncvx(which, jnp.float64)
+        res = _run(run_ulpda_tv_tiled, proxf, proxg, jnp.float64, tau, mu,
+                   band=band, halo=halo, stream_x=False)
+        out = _run(run_ulpda_tv_tiled, proxf, proxg, jnp.float64, tau, mu,
+                   band=band, halo=halo, stream_x=True)
+        assert jnp.allclose(
+            out.final_state.position, res.final_state.position, atol=1e-9
+        )
+        assert jnp.allclose(
+            out.final_state.extras.y, res.final_state.extras.y, atol=1e-9
+        )
