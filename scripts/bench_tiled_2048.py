@@ -176,9 +176,12 @@ def main(steps: int = 4000, burn: int = 1000):
     # 4 x 64 MiB whole-image VMEM fields): run_myula_tv_tiled
     # auto-selects stream_x=True, which keeps x/atbs/both parities in
     # HBM and pages tile slots through VMEM
-    if run_row("tiled 4096 band=256", 4096, run_myula_tv_tiled,
-               band=256) is False:
-        run_row("tiled 4096 band=128", 4096, run_myula_tv_tiled, band=128)
+    # band=128 first: its tile temporaries (~160 x 4096) fit the 96M
+    # scoped budget comfortably, so a 4096 number lands before the
+    # band=256 attempt (which may OOM — kept as a ceiling probe)
+    if run_row("tiled 4096 band=128", 4096, run_myula_tv_tiled,
+               band=128) is not None:
+        run_row("tiled 4096 band=256", 4096, run_myula_tv_tiled, band=256)
     # streamed-vs-resident overhead where BOTH compile: quantifies what
     # the 4096^2 row pays for HBM-resident x
     if run_row("tiled 2048 stream band=256", 2048, run_myula_tv_tiled,
