@@ -156,8 +156,19 @@ def run_stage(name, tmo, argv) -> str:
     tail = open(log).read()[-2000:]
     print(f"  {name}: exit {code} in {dt:.0f}s; log tail:\n{tail[-600:]}",
           flush=True)
-    # heuristics: tracebacks = real bug; anything else (hang-kill,
-    # connection reset) = tunnel
+    # heuristics: tracebacks = real bug UNLESS the exception is the
+    # tunnel itself dying mid-RPC (remote_compile / transfer errors
+    # raise JaxRuntimeError with a traceback — round-5 observed
+    # "read body: response body closed" killing a stage and the old
+    # rule misclassifying it as a code failure); anything else
+    # (hang-kill, connection reset) = tunnel
+    tunnel_sig = (
+        "remote_compile", "read body", "response body closed",
+        "Socket closed", "UNAVAILABLE", "DEADLINE_EXCEEDED",
+        "Connection reset", "connect: connection refused",
+    )
+    if any(s in tail for s in tunnel_sig):
+        return "tunnel"
     return "real" if "Traceback" in tail else "tunnel"
 
 
