@@ -374,9 +374,16 @@ def _marker_band_rows(shape) -> int:
 
 def _p2_hbm_pass(
     x_new, c_prev, w, qho_ref, qno_ref, qh_s, qn_s, sems,
-    quantiles, pltpu,
+    quantiles, pltpu, x_ref=None, xq_s=None,
 ):
     """One P^2 observation with marker state resident in HBM.
+
+    ``x_new`` is the whole-image sample in VMEM; alternatively (the
+    stream_x tiled layout, where no whole image ever sits in VMEM) pass
+    ``x_new=None`` with ``x_ref`` an HBM ref of the updated sample and
+    ``xq_s`` a (2, band, nx) VMEM scratch — the sample's bands then ride
+    the same double-buffered DMA slots as the markers (``sems`` must be
+    (2, 6): channel 4 is the x band in-copy).
 
     The (5+3)·n_q marker fields do not fit VMEM past 512^2 (at 1024^2 a
     95%-CI in-VMEM program measures 325 MB against the 128 MB core), so the
@@ -396,12 +403,12 @@ def _p2_hbm_pass(
     from jax.experimental import pallas as pl
 
     pl_ds = pl.ds
-    ny = x_new.shape[0]
+    ny = (x_ref if x_new is None else x_new).shape[0]
     band = qh_s.shape[2]
     n_bands = ny // band
 
     def dma_in(slot, b):
-        return (
+        cps = [
             pltpu.make_async_copy(
                 qho_ref.at[:, pl_ds(b * band, band)], qh_s.at[slot],
                 sems.at[slot, 0],
@@ -410,7 +417,13 @@ def _p2_hbm_pass(
                 qno_ref.at[:, pl_ds(b * band, band)], qn_s.at[slot],
                 sems.at[slot, 1],
             ),
-        )
+        ]
+        if x_new is None:
+            cps.append(pltpu.make_async_copy(
+                x_ref.at[pl_ds(b * band, band)], xq_s.at[slot],
+                sems.at[slot, 4],
+            ))
+        return cps
 
     def dma_out(slot, b):
         return (
@@ -442,7 +455,12 @@ def _p2_hbm_pass(
         # static slice: `b` is a Python int (the band loop is unrolled) and
         # Mosaic TC has no dynamic_slice lowering — lax.slice_in_dim keeps
         # the primitive static even inside the surrounding step scan
-        xb = jax.lax.slice_in_dim(x_new, b * band, (b + 1) * band, axis=0)
+        if x_new is None:
+            xb = xq_s[slot]
+        else:
+            xb = jax.lax.slice_in_dim(
+                x_new, b * band, (b + 1) * band, axis=0
+            )
         new_h, new_n = [], []
         for j, p in enumerate(quantiles):
             qs = tuple(qh_s[slot, 5 * j + i] for i in range(5))

@@ -93,6 +93,20 @@ def _round8(v: int) -> int:
     return (v + 7) // 8 * 8
 
 
+def _marker_band_rows_streamed(shape, n_q: int, itemsize: int) -> int:
+    """Marker-pass band height for the stream_x layout: start from the
+    whole-image rule (_marker_band_rows) and halve until the marker
+    scratch — 2 slots x ((5+3) n_q marker fields + 1 x band) — fits a
+    24 MiB budget, leaving the tile slots and compute temporaries room
+    inside the scoped-VMEM allowance at 2048^2+."""
+    ny, nx = shape
+    bm = _marker_band_rows(shape)
+    budget = 24 * 1024 * 1024
+    while bm > 8 and 2 * (8 * n_q + 1) * bm * nx * itemsize > budget:
+        bm //= 2
+    return bm
+
+
 def _halo_need(niter_tv: int, oy: int, mode: str, niter_inner: int) -> int:
     """Rows the tile seam's wrap contamination can travel in one step: the
     per-step operators act on the SAME tile read (not composed), so the
@@ -159,8 +173,11 @@ def _tiled_kernel(
     ny, nx = x_ref.shape
     n_bands = ny // band
     n_q = len(quantiles)
-    if stream_x:
+    if stream_x and n_q:
         # 6th output (the HBM parity partner) precedes the true scratch
+        (xs_ref, xt_s, xo_s, ab_s, mean_s, m2_s, sems, sems_x,
+         qh_s, qn_s, xq_s, sems_q) = scratch
+    elif stream_x:
         xs_ref, xt_s, xo_s, ab_s, mean_s, m2_s, sems, sems_x = scratch
     elif n_q:
         xs_ref, mean_s, m2_s, sems, qh_s, qn_s, sems_q = scratch
@@ -365,10 +382,19 @@ def _tiled_kernel(
 
             @pl.when((g + 1) % quantile_thin == 0)
             def _record():
-                _p2_hbm_pass(
-                    dst_ref[:], c_prev, w.astype(jnp.int32), qho_ref,
-                    qno_ref, qh_s, qn_s, sems_q, quantiles, pltpu,
-                )
+                if stream_x:
+                    # no whole image in VMEM: the sample's bands ride
+                    # the marker DMA slots from the HBM parity buffer
+                    _p2_hbm_pass(
+                        None, c_prev, w.astype(jnp.int32), qho_ref,
+                        qno_ref, qh_s, qn_s, sems_q, quantiles, pltpu,
+                        x_ref=dst_ref, xq_s=xq_s,
+                    )
+                else:
+                    _p2_hbm_pass(
+                        dst_ref[:], c_prev, w.astype(jnp.int32), qho_ref,
+                        qno_ref, qh_s, qn_s, sems_q, quantiles, pltpu,
+                    )
 
     def pair_body(j, c):
         g = step0 + 2 * j
@@ -431,12 +457,6 @@ def myula_tv_tiled_update(
             f"tile = band + 2*halo = {band + 2 * halo} exceeds ny={ny}: "
             "a tile may wrap the image at most once"
         )
-    if stream_x and quantiles:
-        raise NotImplementedError(
-            "stream_x=True keeps x in HBM, but the P^2 marker pass needs "
-            "the whole updated image in VMEM — use the resident kernel "
-            "(images <= 2048^2) for in-kernel quantiles"
-        )
 
     seed_tile = jnp.zeros((1, 128), jnp.int32)
     seed_tile = seed_tile.at[0, :2].set(jnp.asarray(seed, jnp.int32))
@@ -486,6 +506,16 @@ def myula_tv_tiled_update(
             pltpu.SemaphoreType.DMA((2, 4)),
             pltpu.SemaphoreType.DMA((2, 4)),
         ]
+        if n_q:
+            band_m = _marker_band_rows_streamed(
+                x.shape, n_q, x.dtype.itemsize
+            )
+            scratch_shapes += [
+                pltpu.VMEM((2, 5 * n_q, band_m, nx), x.dtype),
+                pltpu.VMEM((2, 3 * n_q, band_m, nx), x.dtype),
+                pltpu.VMEM((2, band_m, nx), x.dtype),  # x band slots
+                pltpu.SemaphoreType.DMA((2, 6)),
+            ]
         aliases = {}
     else:
         scratch_shapes = [
@@ -566,11 +596,6 @@ def run_myula_tv_tiled(
         # windows, the parity scratch, atbs) — past 2048^2 f32 that alone
         # exceeds the core, so switch to the HBM-streamed layout
         stream_x = 4 * ny * nx * x0.dtype.itemsize > _VMEM_LIMIT_BYTES
-    if stream_x and quantiles:
-        raise NotImplementedError(
-            "in-kernel quantiles need the resident tiled kernel "
-            "(stream_x=False, images <= 2048^2)"
-        )
     if block is None:
         block = min(n_steps, 256)
     block -= block % 2

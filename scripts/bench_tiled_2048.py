@@ -188,6 +188,13 @@ def main(steps: int = 4000, burn: int = 1000):
                band=256, stream_x=True) is False:
         run_row("tiled 2048 stream band=128", 2048, run_myula_tv_tiled,
                 band=128, stream_x=True)
+    # CI maps in the streamed layout: sample bands ride the marker DMA
+    # slots (the resident 2048 CI row's marker scratch may itself OOM)
+    run_row("tiled 2048 stream CI thin=8", 2048, run_myula_tv_tiled,
+            band=256, stream_x=True, quantiles=(0.025, 0.975),
+            quantile_thin=8)
+    run_row("tiled 4096 CI thin=8", 4096, run_myula_tv_tiled, band=128,
+            stream_x=True, quantiles=(0.025, 0.975), quantile_thin=8)
     # primal-dual tiled flagship (kernels/ulpda_tiled.py): Chebyshev-3
     # gram solve (measured frontier default). The RESIDENT layout's 9
     # whole-image windows measured 176-191M at 2048^2 for every band

@@ -285,8 +285,20 @@ class TestStreamedX:
             out.final_state.position, res.final_state.position, atol=1e-12
         )
 
-    def test_quantiles_rejected(self):
-        l2 = _problem(jnp.float32)
-        with pytest.raises(NotImplementedError, match="resident"):
-            _run(run_myula_tv_tiled, l2, jnp.float32, band=32, halo=16,
-                 stream_x=True, quantiles=(0.5,))
+    def test_quantiles_match_resident_f64(self):
+        """Streamed P^2 markers: the sample's bands ride the marker DMA
+        slots from the HBM parity buffer (myula_fused._p2_hbm_pass
+        x_ref/xq_s mode) — quantile maps and marker state must match the
+        resident kernel to the chains' own program-level tolerance."""
+        l2 = _problem(jnp.float64)
+        res = _run(run_myula_tv_tiled, l2, jnp.float64, band=32, halo=16,
+                   stream_x=False, quantiles=(0.1, 0.9), quantile_thin=2)
+        out = _run(run_myula_tv_tiled, l2, jnp.float64, band=32, halo=16,
+                   stream_x=True, quantiles=(0.1, 0.9), quantile_thin=2)
+        for p in (0.1, 0.9):
+            assert jnp.allclose(out.quantiles[p], res.quantiles[p],
+                                atol=1e-11)
+        assert jnp.allclose(out.quantile_state[0], res.quantile_state[0],
+                            atol=1e-11)
+        assert jnp.allclose(out.quantile_state[1], res.quantile_state[1],
+                            atol=1e-11)

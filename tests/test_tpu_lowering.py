@@ -202,6 +202,22 @@ class TestTiledMyulaLowering:
             x0, KEY,
         )
 
+    def test_tiled_streamed_quantiles(self, deblur, x0):
+        """Streamed P^2 markers (x bands paged from the HBM parity
+        buffer inside the marker pass) under the dynamic pl.when record
+        guard — conditional DMA through the full Mosaic pipeline."""
+        from lmc_atomi_tpu.kernels.myula_tiled import run_myula_tv_tiled
+
+        _, _, _, l2 = deblur
+        _lower_tpu(
+            lambda x, k: run_myula_tv_tiled(
+                l2, 0.3, TAU, GAMMA, x, k, 8, block=4, burn_in=2,
+                band=16, halo=16, quantiles=(0.025, 0.975),
+                quantile_thin=2, stream_x=True,
+            ).moments.mean,
+            x0, KEY,
+        )
+
     @pytest.mark.parametrize("which", ["mctv", "metv"])
     def test_tiled_ncvx(self, deblur, x0, which):
         """Per-band concave corrections (round-5 extension) through the
