@@ -80,6 +80,7 @@ from lmc_atomi_tpu.kernels.myula_fused import (
 )
 from lmc_atomi_tpu.kernels.myula_tiled import (
     _band_masks,
+    _marker_band_rows_streamed,
     _read_tile,
     _round8,
     pick_band,
@@ -125,7 +126,10 @@ def _ulpda_tiled_kernel(
     n_bands = ny // band
     tile = band + 2 * halo
     n_q = len(quantiles)
-    if stream_x:
+    if stream_x and n_q:
+        (xt_s, xt2_s, pyt_s, pxt_s, ab_s, xo_s, pyo_s, pxo_s,
+         mean_s, m2_s, sems, sems_x, qh_s, qn_s, xq_s, sems_q) = scratch
+    elif stream_x:
         (xt_s, xt2_s, pyt_s, pxt_s, ab_s, xo_s, pyo_s, pxo_s,
          mean_s, m2_s, sems, sems_x) = scratch
     elif n_q:
@@ -442,10 +446,19 @@ def _ulpda_tiled_kernel(
 
             @pl.when((g + 1) % quantile_thin == 0)
             def _record():
-                _p2_hbm_pass(
-                    dst_ref[:], c_prev, w, qho_ref, qno_ref, qh_s, qn_s,
-                    sems_q, quantiles, pltpu,
-                )
+                if stream_x:
+                    # no whole image in VMEM: the sample's bands ride
+                    # the marker DMA slots from the HBM parity buffer
+                    _p2_hbm_pass(
+                        None, c_prev, w, qho_ref, qno_ref, qh_s, qn_s,
+                        sems_q, quantiles, pltpu, x_ref=dst_ref,
+                        xq_s=xq_s,
+                    )
+                else:
+                    _p2_hbm_pass(
+                        dst_ref[:], c_prev, w, qho_ref, qno_ref, qh_s,
+                        qn_s, sems_q, quantiles, pltpu,
+                    )
 
     def pair_body(j, c):
         g = step0 + 2 * j
@@ -504,13 +517,6 @@ def ulpda_tv_tiled_update(
             f"tile = band + 2*halo = {band + 2 * halo} exceeds ny={ny}: "
             "a tile may wrap the image at most once"
         )
-    if stream_x and quantiles:
-        raise NotImplementedError(
-            "stream_x=True keeps x in HBM, but the P^2 marker pass needs "
-            "the whole updated image in VMEM — use the resident kernel "
-            "(images <= 1024^2) for in-kernel quantiles"
-        )
-
     seed_tile = jnp.zeros((1, 128), jnp.int32)
     seed_tile = seed_tile.at[0, :2].set(jnp.asarray(seed, jnp.int32))
 
@@ -554,6 +560,16 @@ def ulpda_tv_tiled_update(
             pltpu.SemaphoreType.DMA((2, 4)),
             pltpu.SemaphoreType.DMA((2, 10)),
         ]
+        if n_q:
+            band_m = _marker_band_rows_streamed(
+                x.shape, n_q, x.dtype.itemsize
+            )
+            scratch_shapes += [
+                pltpu.VMEM((2, 5 * n_q, band_m, nx), x.dtype),
+                pltpu.VMEM((2, 3 * n_q, band_m, nx), x.dtype),
+                pltpu.VMEM((2, band_m, nx), x.dtype),  # x band slots
+                pltpu.SemaphoreType.DMA((2, 6)),
+            ]
         aliases = {}
     else:
         scratch_shapes = [
@@ -653,11 +669,6 @@ def run_ulpda_tv_tiled(
         # 4 aliased out) — measured 176-191M at 2048^2 f32 for EVERY
         # band, so past ~1024^2 only the HBM-streamed layout compiles
         stream_x = 9 * ny * nx * x0.dtype.itemsize > _VMEM_LIMIT_BYTES
-    if stream_x and quantiles:
-        raise NotImplementedError(
-            "in-kernel quantiles need the resident tiled kernel "
-            "(stream_x=False, images <= 1024^2)"
-        )
     if block is None:
         block = min(n_steps, 256)
     block -= block % 2

@@ -209,6 +209,9 @@ def main(steps: int = 4000, burn: int = 1000):
         run_ulpda_row("ulpda tiled 2048 stream band=128", 2048, band=128,
                       stream_x=True)
     run_ulpda_row("ulpda tiled 1024 band=256", 1024, band=256)
+    run_ulpda_row("ulpda tiled 2048 stream CI thin=8", 2048, band=256,
+                  stream_x=True, quantiles=(0.025, 0.975),
+                  quantile_thin=8)
     # nonconvex data terms at the tiled scale (round-5 extension): the
     # MC-TV correction adds a 2-row stencil per band; ME-TV a cold
     # 10-trip envelope prox (ULPDA's composes pre-solve -> halo 24)

@@ -269,6 +269,22 @@ class TestTiledUlpdaLowering:
             x0, KEY,
         )
 
+    def test_tiled_streamed_quantiles(self, deblur, x0):
+        """Streamed markers + streamed state: conditional x-band DMA from
+        the HBM parity buffer through the full Mosaic pipeline."""
+        from lmc_atomi_tpu.kernels.ulpda_tiled import run_ulpda_tv_tiled
+
+        _, _, _, l2 = deblur
+        _lower_tpu(
+            lambda x, k: run_ulpda_tv_tiled(
+                l2, L21Norm(sigma=0.3), Gradient2D(), 0.95 / l2.sigma, 1.0,
+                x, k, 8, block=4, burn_in=2, niter_solve=3, band=16,
+                halo=16, quantiles=(0.025, 0.975), quantile_thin=2,
+                stream_x=True,
+            ).moments.mean,
+            x0, KEY,
+        )
+
     def test_tiled_quantiles(self, deblur, x0):
         """Persistent-dual band updates + HBM-streamed markers under the
         dynamic pl.when record guard, through the full Mosaic pipeline."""

@@ -294,12 +294,23 @@ class TestStreamedX:
             out.final_state.position, res.final_state.position, atol=1e-9
         )
 
-    def test_quantiles_rejected(self):
-        _, proxf, tau, mu = _problem(jnp.float32)
-        with pytest.raises(NotImplementedError, match="resident"):
-            _run(run_ulpda_tv_tiled, proxf, L21Norm(sigma=0.3),
-                 jnp.float32, tau, mu, band=16, halo=16, stream_x=True,
-                 quantiles=(0.5,))
+    def test_quantiles_match_resident_f64(self):
+        """Streamed P^2 markers: sample bands ride the marker DMA slots
+        from the HBM parity buffer; maps must match the resident kernel
+        to the chains' cross-compile tolerance."""
+        _, proxf, tau, mu = _problem(jnp.float64)
+        proxg = L21Norm(sigma=0.3)
+        res = _run(run_ulpda_tv_tiled, proxf, proxg, jnp.float64, tau, mu,
+                   band=16, halo=16, stream_x=False,
+                   quantiles=(0.1, 0.9), quantile_thin=2)
+        out = _run(run_ulpda_tv_tiled, proxf, proxg, jnp.float64, tau, mu,
+                   band=16, halo=16, stream_x=True,
+                   quantiles=(0.1, 0.9), quantile_thin=2)
+        for p in (0.1, 0.9):
+            assert jnp.allclose(out.quantiles[p], res.quantiles[p],
+                                atol=1e-9)
+        assert jnp.allclose(out.quantile_state[0], res.quantile_state[0],
+                            atol=1e-9)
 
     @pytest.mark.parametrize("which,band,halo", [
         ("mctv", 16, 16),
